@@ -1,0 +1,259 @@
+"""HiFi-GAN generator + UnivNet-style discriminators (TPU/JAX).
+
+Generator mirrors the reference architecture (hifigan/generator.py:10-64):
+weight-normed conv_pre(7) -> per-stage [transposed upsample + MRF resblock
+sum / num_kernels] -> leaky_relu -> conv_post(7) -> tanh, all in NLC layout
+so channels ride the TPU lane dim and the transposed convs lower to MXU
+matmuls via lhs dilation.
+
+Discriminators (hifigan/discriminator.py):
+  * MultiResolutionDiscriminator — per hop length an STFT (fft=4*hop,
+    normalized, HTK mel warp, 'double' domain: stacked linear+log mags as a
+    2-channel image) feeding 7 weight-normed 3x3 conv2d stages.
+  * MultiPeriodDiscriminator — waveform reshaped [B, T/p, p, 1] per period,
+    5 strided (k,1) conv2d stages + post conv.
+
+The reference's reflection pads become explicit jnp.pad calls; LeakyReLU
+slopes follow the reference (0.1 generator, 0.2 discriminators).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msmctts_tpu.ops.convs import WNConv, WNConvTranspose1d
+from msmctts_tpu.ops.stft import mel_filterbank_htk, stft_real_imag
+from msmctts_tpu.registry import register_network
+
+GEN_LRELU = 0.1
+DISC_LRELU = 0.2
+
+
+def _get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+class ResBlock1(nn.Module):
+    """MRF residual block (hifigan/common.py:21-58)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Sequence[int] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilations):
+            xt = nn.leaky_relu(x, GEN_LRELU)
+            xt = WNConv(
+                self.channels,
+                (self.kernel_size,),
+                padding=_get_padding(self.kernel_size, d),
+                dilation=d,
+                hifigan_init=True,
+                name=f"conv1_{i}",
+            )(xt)
+            xt = nn.leaky_relu(xt, GEN_LRELU)
+            xt = WNConv(
+                self.channels,
+                (self.kernel_size,),
+                padding=_get_padding(self.kernel_size, 1),
+                hifigan_init=True,
+                name=f"conv2_{i}",
+            )(xt)
+            x = x + xt
+        return x
+
+
+class ResBlock2(nn.Module):
+    channels: int
+    kernel_size: int = 3
+    dilations: Sequence[int] = (1, 3)
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilations):
+            xt = nn.leaky_relu(x, GEN_LRELU)
+            xt = WNConv(
+                self.channels,
+                (self.kernel_size,),
+                padding=_get_padding(self.kernel_size, d),
+                dilation=d,
+                hifigan_init=True,
+                name=f"conv_{i}",
+            )(xt)
+            x = x + xt
+        return x
+
+
+@register_network("HifiGANGenerator")
+class HifiGANGenerator(nn.Module):
+    """[B, T, num_mels] -> [B, T * prod(upsample_rates), 1] waveform."""
+
+    resblock_kernel_sizes: Sequence[int]
+    resblock_dilation_sizes: Sequence[Sequence[int]]
+    upsample_rates: Sequence[int]
+    upsample_initial_channel: int
+    upsample_kernel_sizes: Sequence[int]
+    num_mels: int = 80
+
+    @nn.compact
+    def __call__(self, x):
+        num_kernels = len(self.resblock_kernel_sizes)
+        x = WNConv(self.upsample_initial_channel, (7,), padding=3, name="conv_pre")(x)
+        for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
+            ch = self.upsample_initial_channel // (2 ** (i + 1))
+            x = nn.leaky_relu(x, GEN_LRELU)
+            x = WNConvTranspose1d(
+                ch, k, u, padding=(k - u) // 2, hifigan_init=True, name=f"up_{i}"
+            )(x)
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+            ):
+                r = ResBlock1(ch, rk, tuple(rd), name=f"resblock_{i}_{j}")(x)
+                acc = r if acc is None else acc + r
+            x = acc / num_kernels
+        x = nn.leaky_relu(x, GEN_LRELU)
+        x = WNConv(1, (7,), padding=3, hifigan_init=True, name="conv_post")(x)
+        return jnp.tanh(x)
+
+
+class DiscriminatorR(nn.Module):
+    """7-stage 3x3 conv2d spectrogram discriminator with reflection padding
+    (discriminator.py:15-76). Input [B, F, T, C]; returns (score, fmaps[:-1])."""
+
+    hidden_channels: int = 512
+
+    @nn.compact
+    def __call__(self, x):
+        hc = self.hidden_channels
+        plan = [  # (features, stride)
+            (hc // 32, 1),
+            (hc // 16, 2),
+            (hc // 8, 1),
+            (hc // 4, 2),
+            (hc // 2, 1),
+            (hc, 2),
+            (1, 1),
+        ]
+        fmaps = []
+        for i, (feat, stride) in enumerate(plan):
+            if i > 0:
+                x = nn.leaky_relu(x, DISC_LRELU)
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+            x = WNConv(feat, (3, 3), strides=stride, name=f"conv_{i}")(x)
+            fmaps.append(x)
+        return x, fmaps[:-1]
+
+
+class MultiResolutionDiscriminator(nn.Module):
+    hop_lengths: Sequence[int] = (15, 30, 50, 120, 240, 480)
+    hidden_channels: Sequence[int] = (128, 128, 256, 256, 512, 512)
+    domain: str = "double"
+    mel_scale: bool = True
+    sample_rate: int = 24000
+    ref_level_db: float = 20.0
+    min_level_db: float = -100.0
+
+    @nn.compact
+    def __call__(self, wav):
+        """wav [B, T] -> (scores list, fmaps list-of-lists)."""
+        scores, fmaps = [], []
+        for idx, (hop, hc) in enumerate(zip(self.hop_lengths, self.hidden_channels)):
+            n_fft = hop * 4
+            real, imag = stft_real_imag(
+                wav, n_fft, hop, n_fft, center=True, normalized=True
+            )
+            mag = jnp.sqrt(jnp.clip(real * real + imag * imag, min=1e-7))
+            if self.mel_scale:
+                n_bins = n_fft // 2 + 1
+                fb = jnp.asarray(
+                    mel_filterbank_htk(
+                        n_bins, 0.0, self.sample_rate / 2, n_bins, self.sample_rate
+                    )
+                )
+                mag = jnp.einsum("bft,fm->bmt", mag, fb)
+            if self.domain == "double":
+                log_mag = 20.0 * jnp.log10(mag) - self.ref_level_db
+                log_mag = jnp.clip(
+                    (log_mag - self.min_level_db) / -self.min_level_db, 0.0, 1.0
+                )
+                img = jnp.stack([mag, log_mag], axis=-1)  # [B, F, T', 2]
+            else:
+                img = mag[..., None]
+            score, fmap = DiscriminatorR(hc, name=f"disc_{idx}")(img)
+            scores.append(score)
+            fmaps.append(fmap)
+        return scores, fmaps
+
+
+class DiscriminatorP(nn.Module):
+    """Period discriminator (discriminator.py:119-152); input [B, T]."""
+
+    period: int
+    channels: int = 32
+    max_channels: int = 1024
+    kernel_size: int = 5
+    stride: int = 3
+
+    @nn.compact
+    def __call__(self, wav):
+        B, T = wav.shape
+        p = self.period
+        if T % p != 0:
+            n_pad = p - (T % p)
+            wav = jnp.pad(wav, ((0, 0), (0, n_pad)), mode="reflect")
+            T = T + n_pad
+        x = wav.reshape(B, T // p, p, 1)  # [B, T/p, p, 1] NHWC
+
+        ch = self.channels
+        chans = [ch, ch * 4, min(self.max_channels, ch * 16), min(self.max_channels, ch * 32)]
+        pad = _get_padding(self.kernel_size, 1)
+        fmaps = []
+        for i, c in enumerate(chans + [chans[-1]]):
+            k = (self.kernel_size, 1) if i < 4 else (5, 1)
+            s = (self.stride, 1) if i < 4 else (1, 1)
+            pd = [(pad, pad), (0, 0)] if i < 4 else [(2, 2), (0, 0)]
+            x = WNConv(c, k, strides=s, padding=pd, name=f"conv_{i}")(x)
+            fmaps.append(x)
+            x = nn.leaky_relu(x, DISC_LRELU)
+        x = WNConv(1, (3, 1), padding=[(1, 1), (0, 0)], name="conv_post")(x)
+        score = x.reshape(B, -1)
+        return score, fmaps
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+    channels: int = 32
+    max_channels: int = 1024
+
+    @nn.compact
+    def __call__(self, wav):
+        scores, fmaps = [], []
+        for p in self.periods:
+            s, f = DiscriminatorP(p, self.channels, self.max_channels, name=f"disc_p{p}")(wav)
+            scores.append(s)
+            fmaps.append(f)
+        return scores, fmaps
+
+
+@register_network("UnivNetDiscriminator")
+class UnivNetDiscriminator(nn.Module):
+    """MRD + MPD combined (discriminator.py:174-190). Input [B, T] or
+    [B, T, 1]; returns concatenated (scores, fmaps)."""
+
+    mrd_config: dict
+    mpd_config: dict
+
+    @nn.compact
+    def __call__(self, wav):
+        if wav.ndim == 3:
+            wav = wav[..., 0]
+        mrd_s, mrd_f = MultiResolutionDiscriminator(**self.mrd_config, name="mrd")(wav)
+        mpd_s, mpd_f = MultiPeriodDiscriminator(**self.mpd_config, name="mpd")(wav)
+        return mrd_s + mpd_s, mrd_f + mpd_f

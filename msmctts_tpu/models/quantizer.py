@@ -1,0 +1,168 @@
+"""Multi-head EMA vector quantization (TPU-native).
+
+Reimplements the reference's ``Quantize`` / ``MultiHeadQuantize``
+(vqgantts/modules.py:10-169) as a single fused module:
+
+  * All heads share one codebook tensor [H, d_sub, K] and the nearest-
+    codeword search is a single batched einsum ``|x|^2 - 2 x.E + |E|^2``
+    followed by argmin — one MXU contraction instead of H small matmuls.
+  * EMA statistics are *masked sums* over valid frames (replacing the
+    reference's per-utterance python gather, modules.py:35-45). Under pjit
+    with the batch sharded over the ``data`` mesh axis these sums compile to
+    cross-device all-reduces, so multi-host codebooks stay synchronized —
+    fixing the reference's per-rank codebook drift (SURVEY.md 2.9).
+  * Codebook state lives in the ``codebook`` flax collection (float32
+    always) and is only written when the caller marks the collection
+    mutable: ``apply(..., mutable=['codebook'])`` in the train step.
+
+The straight-through estimator and the commitment diff
+``(stop_grad(quant) - x)^2`` match modules.py:59-60; the triplet loss
+matches ``compute_triple_loss`` (modules.py:86-116) including its
+self-masking trick (entries where ``pos_loss == dist`` — the target
+codeword — drop out of the hinge).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def nearest_codes(x, embed):
+    """x [..., H, d], embed [H, d, K] -> (indices [..., H], dist [..., H, K]).
+
+    Distances are squared L2 computed in float32 on the MXU.
+    """
+    x = x.astype(jnp.float32)
+    embed = embed.astype(jnp.float32)
+    x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # [..., H, 1]
+    e_sq = jnp.sum(embed * embed, axis=1)  # [H, K]
+    xe = jnp.einsum("...hd,hdk->...hk", x, embed)
+    dist = x_sq - 2.0 * xe + e_sq
+    return jnp.argmin(dist, axis=-1), dist
+
+
+def lookup_codes(indices, embed):
+    """indices [..., H], embed [H, d, K] -> [..., H, d]."""
+    return _lookup(indices, jnp.swapaxes(embed, 1, 2))
+
+
+def _lookup(indices, table):
+    # table [H, K, d]; indices [..., H] -> vmap gather over heads
+    def per_head(idx_h, tab_h):  # idx [...], tab [K, d]
+        return jnp.take(tab_h, idx_h, axis=0)
+
+    moved = jnp.moveaxis(indices, -1, 0)  # [H, ...]
+    out = jax.vmap(per_head)(moved, table)  # [H, ..., d]
+    return jnp.moveaxis(out, 0, -2)  # [..., H, d]
+
+
+class EMAQuantizer(nn.Module):
+    """H-head EMA codebook over inputs [B, T, embed_dim].
+
+    embed_dim is split evenly across n_head sub-spaces; each head has its
+    own K-entry codebook (reference MultiHeadQuantize; n_head=1 degenerates
+    to the plain Quantize).
+    """
+
+    embed_dim: int
+    n_embed: int
+    n_head: int = 1
+    decay: float = 0.99
+    eps: float = 1e-5
+
+    def setup(self):
+        assert self.embed_dim % self.n_head == 0
+        self.sub_dim = self.embed_dim // self.n_head
+        H, d, K = self.n_head, self.sub_dim, self.n_embed
+        self.embed = self.variable(
+            "codebook",
+            "embed",
+            lambda: jax.random.normal(self.make_rng("params"), (H, d, K), jnp.float32),
+        )
+        self.cluster_size = self.variable(
+            "codebook", "cluster_size", lambda: jnp.zeros((H, K), jnp.float32)
+        )
+        self.embed_avg = self.variable("codebook", "embed_avg", lambda: self.embed.value.copy())
+
+    def _variables(self):
+        return self.embed, self.cluster_size, self.embed_avg
+
+    def __call__(self, x, lengths: Optional[jax.Array] = None, update: bool = True):
+        """Quantize x [B, T, D] -> (quantized [B, T, D] straight-through,
+        diff [B, T, D], indices [B, T, H] int32).
+
+        EMA codebook updates run iff ``update`` and the 'codebook'
+        collection is mutable in this apply call (i.e. the train step).
+        Frames at t >= lengths[b] are excluded from the statistics.
+        """
+        B, T, D = x.shape
+        H, d, K = self.n_head, self.sub_dim, self.n_embed
+        embed, cluster_size, embed_avg = self._variables()
+
+        xh = x.reshape(B, T, H, d)
+        indices, _ = nearest_codes(xh, embed.value)  # [B, T, H]
+        quant = _lookup(indices, jnp.swapaxes(embed.value, 1, 2))  # [B, T, H, d]
+
+        if update and self.is_mutable_collection("codebook"):
+            xf = xh.astype(jnp.float32)
+            if lengths is None:
+                mask = jnp.ones((B, T, 1), jnp.float32)
+            else:
+                pos = jnp.arange(T, dtype=jnp.int32)[None, :]
+                mask = (pos < lengths.astype(jnp.int32)[:, None]).astype(jnp.float32)[..., None]
+            onehot = jax.nn.one_hot(indices, K, dtype=jnp.float32) * mask[..., None]
+            onehot_sum = jnp.sum(onehot, axis=(0, 1))  # [H, K]  (global under pjit)
+            embed_sum = jnp.einsum("bthd,bthk->hdk", xf * mask[..., None], onehot)
+
+            new_cs = cluster_size.value * self.decay + (1.0 - self.decay) * onehot_sum
+            new_ea = embed_avg.value * self.decay + (1.0 - self.decay) * embed_sum
+            n = jnp.sum(new_cs, axis=-1, keepdims=True)  # [H, 1]
+            smoothed = (new_cs + self.eps) / (n + K * self.eps) * n  # [H, K]
+            cluster_size.value = new_cs
+            embed_avg.value = new_ea
+            embed.value = new_ea / smoothed[:, None, :]
+
+        quant = quant.reshape(B, T, D).astype(x.dtype)
+        diff = jnp.square(jax.lax.stop_gradient(quant) - x)
+        quant_st = x + jax.lax.stop_gradient(quant - x)
+        return quant_st, diff, indices
+
+    def quantize(self, x):
+        """Snap embeddings to nearest codewords without statistics — the
+        inference path used by predictor snapping and ``synthesis``
+        (msmc_vqgan.py:372-398)."""
+        B, T, D = x.shape
+        embed, _, _ = self._variables()
+        xh = x.reshape(B, T, self.n_head, self.sub_dim)
+        indices, _ = nearest_codes(xh, embed.value)
+        quant = _lookup(indices, jnp.swapaxes(embed.value, 1, 2))
+        return quant.reshape(B, T, D).astype(x.dtype), indices
+
+    def compute_triple_loss(self, pred, target_indices, reduction: str = "mean", margin: float = 1e-6):
+        """Triplet loss against the codebook (modules.py:86-116), averaged
+        over heads: pos = per-frame squared error to the target codeword;
+        hinge vs. distances to all codewords with the target entry
+        self-masked by the (pos_loss - dist != 0) trick."""
+        B, T, D = pred.shape
+        H, d = self.n_head, self.sub_dim
+        embed, _, _ = self._variables()
+        if target_indices.ndim == 2:
+            target_indices = target_indices[..., None]
+
+        ph = pred.reshape(B, T, H, d).astype(jnp.float32)
+        _, dist = nearest_codes(ph, embed.value)  # [B, T, H, K]
+        target = _lookup(target_indices, jnp.swapaxes(embed.value, 1, 2))  # [B,T,H,d]
+        pos_loss = jnp.sum(jnp.square(ph - target.astype(jnp.float32)), axis=-1)  # [B,T,H]
+
+        raw = pos_loss[..., None] - dist  # zero exactly at the target codeword
+        self_mask = (raw != 0).astype(jnp.float32)
+        hinge = jnp.maximum(raw + margin, 0.0) * self_mask / d  # [B,T,H,K]
+        if reduction == "mean":
+            per_head = jnp.mean(hinge, axis=-1)
+        else:  # 'sum'
+            per_head = jnp.sum(hinge, axis=-1)
+        return jnp.mean(per_head, axis=-1)  # [B, T] averaged over heads
