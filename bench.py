@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end TTS synthesis throughput on the flagship
+CSMSC-shaped models (MultiStagePredictor 600-wide + MSMC-VQ-GAN with
+HiFi-GAN x300 upsampling, 24 kHz).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 300 — the driver-set north star of >=300x
+real-time per chip (BASELINE.md). Weights are randomly initialized (the
+compute graph, not the audio, is what is being measured).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msmctts_tpu.config import component_kwargs, load_yaml
+from msmctts_tpu.models.msmc_vqgan import MSMCVQGAN
+from msmctts_tpu.models.predictor import MultiStagePredictor
+
+SAMPLE_RATE = 24000
+FRAMESHIFT = 300  # samples per frame (12.5 ms)
+
+
+def main():
+    ae_node = load_yaml("examples/csmsc/configs/msmc_vq_gan.yaml")["task"]["autoencoder"]
+    am_node = load_yaml("examples/csmsc/configs/msmc_vq_gan_am.yaml")["task"]["predictor"]
+    ae = MSMCVQGAN(**component_kwargs(ae_node))
+    predictor = MultiStagePredictor(**component_kwargs(am_node))
+
+    B, Lt, T = 8, 128, 512  # 8 utterances x 6.4 s each
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.integers(1, 90, size=(B, Lt, 3)).astype(np.int32))
+    text_length = jnp.full((B,), Lt, jnp.int32)
+    dur = jnp.full((B, Lt), T // Lt, jnp.float32)
+
+    k = jax.random.PRNGKey(0)
+    pvars = predictor.init(
+        {"params": k, "dropout": k}, text, text_length, dur=dur, max_frames=T,
+        deterministic=True,
+    )
+    mel = jnp.zeros((2, 16, 80), jnp.float32)
+    avars = ae.init(
+        {"params": k, "dropout": k}, mel, jnp.asarray([16, 16]),
+        warmup=False, deterministic=True,
+    )
+    codebooks = [
+        avars["codebook"]["quantizer"][f"vq_{i}"]["embed"] for i in range(2)
+    ]
+
+    @jax.jit
+    def tts(pv, av, text, text_length, dur, cbs):
+        out = predictor.apply(
+            pv, text, text_length, dur=dur, max_frames=T, codebooks=cbs,
+            deterministic=True,
+        )
+        wav = ae.apply(
+            av, out["feat"], out["feat_length"], method="synthesis",
+            deterministic=True,
+        )
+        return wav
+
+    # warmup / compile
+    wav = tts(pvars, avars, text, text_length, dur, codebooks)
+    wav.block_until_ready()
+    assert wav.shape == (B, T * FRAMESHIFT, 1), wav.shape
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        tts(pvars, avars, text, text_length, dur, codebooks).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    wall = float(np.median(times))
+    audio_seconds = B * T * FRAMESHIFT / SAMPLE_RATE
+    rtf = audio_seconds / wall
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_tts_throughput",
+                "value": round(rtf, 2),
+                "unit": "x_realtime_per_chip",
+                "vs_baseline": round(rtf / 300.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

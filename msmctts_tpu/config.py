@@ -73,14 +73,16 @@ class ConfigDict(dict):
             for key, value in data.items():
                 self[key] = self._wrap(value)
 
-    @classmethod
-    def _wrap(cls, value):
+    @staticmethod
+    def _wrap(value):
+        # Always wrap as plain ConfigDict: subclasses (Config) layer
+        # defaults in __init__ and must not re-apply them to nested nodes.
         if isinstance(value, ConfigDict):
             return value
         if isinstance(value, dict):
-            return cls(value)
+            return ConfigDict(value)
         if isinstance(value, (list, tuple)):
-            return [cls._wrap(v) for v in value]
+            return [ConfigDict._wrap(v) for v in value]
         if isinstance(value, str) and value.lower() == "none":
             return None
         return value

@@ -167,7 +167,7 @@ class BaseDataset:
             ids = sorted(data.keys())
             for case_id in ids:
                 for name, item in data[case_id].items():
-                    self.dataset[(case_id, name)] = item
+                    self.dataset[((case_id,), name)] = item
             return [(i,) for i in ids]
 
         with open(id_list_file) as f:

@@ -165,6 +165,21 @@ class MultiStagePredictor(nn.Module):
             duration=duration,
         )
 
+    def predict_durations(self, text, text_length):
+        """Phase-1 inference: raw (clamped) per-phone duration predictions.
+
+        The host rounds/sums these to pick a static frame bucket before the
+        phase-2 synthesis call (reference expands dynamically,
+        transformer.py:442-458; a two-phase split keeps XLA shapes static).
+        """
+        x = self.embed_text(text)
+        pos = positions_from_lengths(text_length, x.shape[1])
+        x, text_mask = self.encoder(x, pos, deterministic=True)
+        _, _, _, dur = self.upsampler(
+            x, text_mask, max_out_len=1, target=None, deterministic=True
+        )
+        return jnp.maximum(dur.astype(jnp.float32), 0.0)
+
     def decode(self, text_embedding, feat, feat_lengths, codebooks=None, deterministic=True):
         # Downsample the text embedding fine->coarse, collect coarsest-first
         downsampled = []

@@ -40,7 +40,9 @@ def nearest_codes(x, embed):
     embed = embed.astype(jnp.float32)
     x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # [..., H, 1]
     e_sq = jnp.sum(embed * embed, axis=1)  # [H, K]
-    xe = jnp.einsum("...hd,hdk->...hk", x, embed)
+    # full fp32 MXU precision: argmin correctness must not depend on the
+    # default (bf16-ish) matmul rounding
+    xe = jnp.einsum("...hd,hdk->...hk", x, embed, precision=jax.lax.Precision.HIGHEST)
     dist = x_sq - 2.0 * xe + e_sq
     return jnp.argmin(dist, axis=-1), dist
 
@@ -116,7 +118,14 @@ class EMAQuantizer(nn.Module):
                 mask = (pos < lengths.astype(jnp.int32)[:, None]).astype(jnp.float32)[..., None]
             onehot = jax.nn.one_hot(indices, K, dtype=jnp.float32) * mask[..., None]
             onehot_sum = jnp.sum(onehot, axis=(0, 1))  # [H, K]  (global under pjit)
-            embed_sum = jnp.einsum("bthd,bthk->hdk", xf * mask[..., None], onehot)
+            # exact fp32 statistics: codebook EMA must not inherit the bf16
+            # default matmul rounding
+            embed_sum = jnp.einsum(
+                "bthd,bthk->hdk",
+                xf * mask[..., None],
+                onehot,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
             new_cs = cluster_size.value * self.decay + (1.0 - self.decay) * onehot_sum
             new_ea = embed_avg.value * self.decay + (1.0 - self.decay) * embed_sum

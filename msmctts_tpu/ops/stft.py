@@ -153,6 +153,7 @@ def stft_real_imag(
         window_strides=(hop_length,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,  # loss-grade accuracy, not bf16
     )
     n_bins = n_fft // 2 + 1
     real, imag = out[:, :n_bins], out[:, n_bins:]

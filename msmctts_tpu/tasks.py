@@ -1,0 +1,239 @@
+"""Task layer: compose networks from the ``task:`` config subtree and run
+inference-time logic.
+
+Mirrors the reference tasks (msmctts/tasks/base_task.py:6-33,
+msmctts/tasks/msmc_tts.py:10-152) with a functional split: a Task owns
+*module definitions* (pure flax modules built from ``_name`` nodes) and —
+for inference — their variables; training state belongs to the trainers.
+
+``MSMCTTS.infer_step`` reproduces the reference's two modes
+(msmc_tts.py:98-133): ``train_autoencoder`` -> analysis-synthesis round
+trip, ``train_predictor`` -> text -> predictor -> snapped MSMCR ->
+``autoencoder.synthesis`` -> waveform, with the frozen autoencoder loaded
+from ``task.autoencoder._checkpoint`` / ``_config`` (pre_infer,
+msmc_tts.py:135-152).
+
+TPU-native inference runs in two jitted phases per shape bucket: a duration
+phase (text bucket) and a synthesis phase (text x frame bucket), so every
+compiled program has static shapes while compute still scales with the
+actual utterance length.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msmctts_tpu.config import Config, component_kwargs
+from msmctts_tpu.data.datasets import FRAME_BUCKETS, bucket_length
+from msmctts_tpu.registry import get_network, register_task
+
+
+class BaseTask:
+    """Holds the flax module for every ``task:`` entry with a ``_name``
+    (reference base_task.py:12-16)."""
+
+    def __init__(self, config, mode: str = "train"):
+        self.config = config
+        self.mode = mode
+        self.networks: Dict[str, object] = {}
+        self.network_configs: Dict[str, dict] = {}
+        for name, node in config.get("task", {}).items():
+            if name.startswith("_") or not isinstance(node, dict):
+                continue
+            if "_name" not in node:
+                continue  # checkpoint-only entries (e.g. frozen autoencoder)
+            cls = get_network(node["_name"])
+            self.networks[name] = cls(**component_kwargs(node))
+            self.network_configs[name] = node
+
+    def trainable(self, name: str) -> bool:
+        node = self.network_configs.get(name, {})
+        return bool(node.get("_trainable", True))
+
+
+def build_task(config, mode: str = "train"):
+    name = config.task["_name"]
+    from msmctts_tpu.registry import get_task
+
+    return get_task(name)(config, mode)
+
+
+def load_frozen_autoencoder(checkpoint_path: str, config_path: Optional[str] = None):
+    """Load a frozen MSMCVQGAN (module + variables) from a checkpoint,
+    using the checkpoint-embedded config when no config file is given
+    (reference tasks/__init__.py:14-22, msmc_tts.py:135-152)."""
+    from msmctts_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(checkpoint_path)
+    cfg = Config(config_path) if config_path else Config(ckpt["config"])
+    node = cfg.task["autoencoder"]
+    cls = get_network(node["_name"])
+    module = cls(**component_kwargs(node))
+    state = ckpt["state"]
+    variables = {
+        "params": state["params"]["autoencoder"],
+        "codebook": state["codebook"],
+    }
+    return module, variables, cfg
+
+
+def extract_codebooks(ae_variables) -> list:
+    """Coarsest-first list of [H, d, K] codebook arrays for predictor
+    snapping (the reference wires ``predictor.quantizers =
+    autoencoder.quantizer.quantizer``, msmc_tts.py:150-152)."""
+    cb = ae_variables["codebook"]["quantizer"]
+    out = []
+    for i in range(len(cb)):
+        out.append(np.asarray(cb[f"vq_{i}"]["embed"]))
+    return out
+
+
+@register_task("MSMCTTS")
+class MSMCTTS(BaseTask):
+    """The v2 task (msmc_tts.py:80-152)."""
+
+    def __init__(self, config, mode: str = "train"):
+        super().__init__(config, mode)
+        ds = config.dataset
+        self.samplerate = ds["samplerate"]
+        self.fs = {f: s for f, s in zip(ds["feature"], ds["frameshift"])}
+        self.training_mode = config.task.get("_mode", "train_autoencoder")
+        self.variables: Dict[str, dict] = {}
+        self._loaded_modules = False
+        self._jit_cache: Dict = {}
+
+    # ------------------------------------------------------------ loading
+    def load_variables(self, state: dict):
+        """Attach inference variables from a checkpoint state tree."""
+        for name in self.networks:
+            if name in state.get("params", {}):
+                v = {"params": state["params"][name]}
+                if name == "autoencoder" and "codebook" in state:
+                    v["codebook"] = state["codebook"]
+                self.variables[name] = v
+
+    def pre_infer(self):
+        self._loaded_modules = True
+        node = self.config.task.get("autoencoder", {})
+        if "_checkpoint" in node and "autoencoder" not in self.variables:
+            module, variables, _ = load_frozen_autoencoder(
+                node["_checkpoint"], node.get("_config")
+            )
+            self.networks["autoencoder"] = module
+            self.variables["autoencoder"] = variables
+
+    # ------------------------------------------------------------- infer
+    def infer_step(self, batch: dict) -> dict:
+        if self.training_mode == "train_autoencoder":
+            return self.analysis_synthesis(batch)
+        if not self._loaded_modules:
+            self.pre_infer()
+        return self.predict(batch)
+
+    def analysis_synthesis(self, batch: dict) -> dict:
+        """Full AE round trip (msmc_tts.py:129-133)."""
+        ae = self.networks["autoencoder"]
+        variables = self.variables["autoencoder"]
+        T = int(batch["mel"].shape[1])
+
+        fn = self._jit_cache.get(("ae", T))
+        if fn is None:
+            @jax.jit
+            def fn(v, mel, mel_length):
+                out = ae.apply(v, mel, mel_length, deterministic=True)
+                return out["decoder_outputs"][..., 0]
+
+            self._jit_cache[("ae", T)] = fn
+
+        wav = fn(variables, jnp.asarray(batch["mel"]), jnp.asarray(batch["mel_length"]))
+        wav = np.asarray(wav)
+        ratio = wav.shape[1] // T
+        return {
+            "wav": [w[: int(l) * ratio] for w, l in zip(wav, batch["mel_length"])],
+            "mel_length": batch["mel_length"],
+        }
+
+    def predict(self, batch: dict) -> dict:
+        """text -> MSMCR -> waveform (msmc_tts.py:109-127)."""
+        predictor = self.networks["predictor"]
+        ae = self.networks["autoencoder"]
+        pvars = self.variables["predictor"]
+        avars = self.variables["autoencoder"]
+        codebooks = [jnp.asarray(c) for c in extract_codebooks(avars)]
+        scales = list(predictor.n_pred_scale)
+        lcm = math.lcm(*scales) if scales else 1
+
+        text = jnp.asarray(batch["text"])
+        text_length = jnp.asarray(batch["text_length"])
+        Lt = int(text.shape[1])
+
+        # Phase 1: predicted durations (per text bucket).
+        dur_fn = self._jit_cache.get(("dur", Lt))
+        if dur_fn is None:
+            @jax.jit
+            def dur_fn(v, text, text_length):
+                return predictor.apply(
+                    v, text, text_length, method="predict_durations"
+                )
+
+            self._jit_cache[("dur", Lt)] = dur_fn
+
+        durations = np.asarray(dur_fn(pvars, text, text_length))
+        durations = np.round(np.maximum(durations, 0.0))
+        mask = np.arange(Lt)[None, :] < np.asarray(batch["text_length"])[:, None]
+        durations = durations * mask
+        total = durations.sum(axis=1).astype(np.int64)
+        max_frames = bucket_length(
+            max(int(total.max()), lcm), FRAME_BUCKETS
+        )
+
+        # Phase 2: expansion + decoding + synthesis (text x frame bucket).
+        syn_fn = self._jit_cache.get(("syn", Lt, max_frames))
+        if syn_fn is None:
+            @partial(jax.jit, static_argnames=("max_frames",))
+            def syn_fn(pv, av, text, text_length, dur, cbs, max_frames):
+                out = predictor.apply(
+                    pv,
+                    text,
+                    text_length,
+                    dur=dur,
+                    max_frames=max_frames,
+                    codebooks=cbs,
+                    deterministic=True,
+                )
+                wav = ae.apply(
+                    av,
+                    out["feat"],
+                    out["feat_length"],
+                    method="synthesis",
+                    deterministic=True,
+                )
+                return out, wav[..., 0]
+
+            self._jit_cache[("syn", Lt, max_frames)] = syn_fn
+
+        out, wav = syn_fn(
+            pvars,
+            avars,
+            text,
+            text_length,
+            jnp.asarray(durations, jnp.float32),
+            codebooks,
+            max_frames=max_frames,
+        )
+        wav = np.asarray(wav)
+        feats = [np.asarray(f) for f in out["feat"]]
+        ratio = wav.shape[1] // feats[-1].shape[1]
+        wav_lengths = (total * ratio).astype(np.int64)
+        return {
+            "wav": [w[:l] for w, l in zip(wav, wav_lengths)],
+            "embedding": [f[: int(t)] for f, t in zip(feats[-1], total)],
+            "duration": durations,
+            "mel_length": total,
+        }

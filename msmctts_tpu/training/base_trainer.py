@@ -1,0 +1,164 @@
+"""Common training loop.
+
+Ports the reference ``BaseTrainer`` (trainers/base_trainer.py:16-142):
+dataloader/optimizer construction from config, auto-resume (latest
+``model_*`` in the save dir, else ``restore_checkpoint_path``, else fresh
+init + optional ``pretrain_checkpoint_path``), per-step logging through
+``Logger``, checkpoints every ``iters_per_checkpoint`` with the full config
+embedded.
+
+TPU redesign: the entire optimization step (losses, both GAN phases, EMA
+codebook update, optimizer updates) is one jitted pure function over a
+train-state pytree, compiled per batch-shape bucket; batches are sharded
+over the mesh ``data`` axis and state is replicated (SURVEY.md 2.9's
+pjit north star). Only process 0 writes checkpoints/logs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from msmctts_tpu.config import component_kwargs
+from msmctts_tpu.data.loader import DataLoader
+from msmctts_tpu.parallel.mesh import (
+    make_mesh,
+    pad_batch_to_devices,
+    replicate_state,
+    shard_batch,
+)
+from msmctts_tpu.registry import get_dataset
+from msmctts_tpu.utils.checkpoint import (
+    find_latest_checkpoint,
+    load_checkpoint,
+    merge_states,
+    save_checkpoint,
+)
+from msmctts_tpu.utils.logger import Logger
+
+
+def build_dataset_from_config(config, training: bool = True, id_list=None):
+    node = dict(config.dataset)
+    name = node.pop("_name")
+    kwargs = component_kwargs(node)
+    if id_list is not None:
+        kwargs["id_list"] = id_list
+    kwargs["training"] = training
+    kwargs.setdefault("seed", config.get("seed", 1234))
+    return get_dataset(name)(**kwargs)
+
+
+class BaseTrainer:
+    def __init__(self, config, task, mesh=None):
+        self.config = config
+        self.task = task
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        self.save_dir = config.get("save_checkpoint_dir", "checkpoints")
+        self.training_steps = int(config.get("training_steps", 1_000_000))
+        self.iters_per_checkpoint = int(config.get("iters_per_checkpoint", 50_000))
+        self.seed = int(config.get("seed", 1234))
+        self.state = None
+        self.iteration = 0
+
+    # ------------------------------------------------------ to be overridden
+    def init_state(self, rng, sample_batch) -> dict:
+        raise NotImplementedError
+
+    def train_step(self, state, batch, iteration):
+        """Returns (new_state, metrics dict of scalars)."""
+        raise NotImplementedError
+
+    # ----------------------------------------------------------- checkpoints
+    def attempt_resume(self, rng, sample_batch):
+        """Reference resume ladder (base_trainer.py:104-119)."""
+        self.state = self.init_state(rng, sample_batch)
+        latest = (
+            find_latest_checkpoint(self.save_dir)
+            if self.config.get("resume_training", True)
+            else None
+        )
+        restore = self.config.get("restore_checkpoint_path") or None
+        pretrain = self.config.get("pretrain_checkpoint_path") or None
+        path = latest or restore
+        if path:
+            ckpt = load_checkpoint(path)
+            self.state = merge_states(self.state, ckpt["state"])
+            self.iteration = int(ckpt["iteration"])
+        elif pretrain:
+            ckpt = load_checkpoint(pretrain)
+            # init-only: model weights, no optimizer state / iteration
+            model_only = {
+                k: ckpt["state"][k]
+                for k in ("params", "codebook", "model_state")
+                if k in ckpt["state"]
+            }
+            self.state = merge_states(self.state, model_only)
+        self.state = replicate_state(self.state, self.mesh)
+
+    def save(self):
+        if jax.process_index() != 0:
+            return
+        path = os.path.join(self.save_dir, f"model_{self.iteration}")
+        cfg = self.config.to_dict() if hasattr(self.config, "to_dict") else dict(self.config)
+        save_checkpoint(path, self.state, self.iteration, cfg)
+
+    # ------------------------------------------------------------------ loop
+    def train(self, max_steps: Optional[int] = None, log_every: int = 50):
+        dl_cfg = self.config.get("dataloader", {})
+        dataset = build_dataset_from_config(self.config, training=True)
+        global_batch = int(dl_cfg.get("batch_size", 16))
+        loader = DataLoader(
+            dataset,
+            batch_size=global_batch,
+            shuffle=True,
+            num_workers=int(dl_cfg.get("num_workers", 4)),
+            seed=self.seed,
+            shard=(jax.process_index(), jax.process_count()),
+        )
+
+        it = iter(loader)
+        sample = pad_batch_to_devices(next(it), self.n_devices)
+        rng = jax.random.PRNGKey(self.seed)
+        self.attempt_resume(rng, sample)
+
+        logger = Logger(self.save_dir, rank=jax.process_index())
+        logger.log_config(
+            self.config.to_dict() if hasattr(self.config, "to_dict") else dict(self.config)
+        )
+        stop_at = min(
+            self.training_steps,
+            self.iteration + max_steps if max_steps is not None else self.training_steps,
+        )
+
+        t0 = time.time()
+        batch = sample
+        while self.iteration < stop_at:
+            self.iteration += 1
+            sharded = shard_batch(batch, self.mesh)
+            self.state, metrics = self.train_step(self.state, sharded, self.iteration)
+            # loader threads prefetch in the background; this next() overlaps
+            # with the async device step
+            batch = pad_batch_to_devices(next(it), self.n_devices)
+
+            if self.iteration % log_every == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                dt = (time.time() - t0) / log_every
+                host["steps_per_sec"] = 1.0 / max(dt, 1e-9)
+                logger.log(self.iteration, {"loss": host})
+                logger.text(
+                    f"step {self.iteration} "
+                    + " ".join(f"{k}={v:.4f}" for k, v in host.items())
+                )
+                t0 = time.time()
+
+            if self.iteration % self.iters_per_checkpoint == 0:
+                self.save()
+
+        self.save()
+        logger.close()
+        return self.state

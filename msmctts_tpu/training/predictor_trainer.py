@@ -1,0 +1,146 @@
+"""Acoustic-model (MultiStagePredictor) trainer.
+
+Reference: trainers/msmctts_trainer.py:222-295. Per step: the frozen
+autoencoder's ``analysis`` produces teacher MSMCR targets under
+stop-gradient (no codebook update — the reference AE is in eval mode);
+the predictor is teacher-forced on them; loss = per-stage embedding losses
+(``mse`` / ``softmax`` / ``triple*`` via the AE's codebooks,
+msmc_vqgan.py:236-273) + masked duration MSE; grads clipped and applied to
+the predictor only.
+
+The whole step — frozen analysis included — is one jitted function, so the
+teacher forward fuses into the same XLA program as the predictor
+forward/backward (the reference pays a separate no_grad forward,
+msmctts_trainer.py:245-253).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from msmctts_tpu.registry import register_trainer
+from msmctts_tpu.tasks import load_frozen_autoencoder
+from msmctts_tpu.training.base_trainer import BaseTrainer
+from msmctts_tpu.training.losses import duration_loss
+from msmctts_tpu.training.optim import build_optimizer, optimizer_config_for
+
+
+@register_trainer("PredictorTrainer")
+class PredictorTrainer(BaseTrainer):
+    def __init__(
+        self,
+        config,
+        task,
+        mesh=None,
+        grad_clip_thresh: float = 1.0,
+        eval_inteval_iters: int = 1000,
+        training_methods=("mse",),
+        loss_weights=(1.0,),
+        lambda_dur: float = 1.0,
+    ):
+        super().__init__(config, task, mesh)
+        self.training_methods = list(training_methods)
+        self.loss_weights = [
+            list(w) if isinstance(w, (list, tuple)) else w for w in loss_weights
+        ]
+        self.lambda_dur = lambda_dur
+        self.predictor = task.networks["predictor"]
+
+        node = config.task["autoencoder"]
+        self.ae, self.ae_variables, _ = load_frozen_autoencoder(
+            node["_checkpoint"], node.get("_config")
+        )
+
+        lr_cfg = config.get("lr_scheduler")
+        self.tx = build_optimizer(
+            optimizer_config_for(config, "predictor"), lr_cfg, grad_clip_thresh
+        )
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+
+    def init_state(self, rng, batch):
+        r_p, r_drop = jax.random.split(rng)
+        # teacher shapes for init
+        q = self.ae.apply(
+            self.ae_variables,
+            jnp.asarray(batch["mel"]),
+            jnp.asarray(batch["mel_length"]),
+            method="analysis",
+            deterministic=True,
+        )
+        pvars = self.predictor.init(
+            {"params": r_p, "dropout": r_drop},
+            jnp.asarray(batch["text"]),
+            jnp.asarray(batch["text_length"]),
+            dur=jnp.asarray(batch["dur"]),
+            feat=q["quantizer_outputs"],
+            feat_length=q["quantizer_lengths"],
+            deterministic=False,
+        )
+        return {
+            "params": {"predictor": pvars["params"]},
+            "opt_state": {"predictor": self.tx.init(pvars["params"])},
+        }
+
+    def _step_impl(self, state, batch, rng):
+        mel, mel_length = batch["mel"], batch["mel_length"]
+        text, text_length = batch["text"], batch["text_length"]
+        dur = batch["dur"]
+
+        # Frozen teacher analysis (fused into the step graph).
+        q = self.ae.apply(
+            self.ae_variables, mel, mel_length, method="analysis", deterministic=True
+        )
+        q = jax.lax.stop_gradient(q)
+        feat = q["quantizer_outputs"]
+        feat_length = q["quantizer_lengths"]
+
+        def loss_fn(params):
+            out = self.predictor.apply(
+                {"params": params},
+                text,
+                text_length,
+                dur=dur,
+                feat=feat,
+                feat_length=feat_length,
+                deterministic=False,
+                rngs={"dropout": rng},
+            )
+            emb = self.ae.apply(
+                self.ae_variables,
+                out["feat"],
+                out["feat_length"],
+                q,
+                methods=self.training_methods,
+                loss_weights=self.loss_weights,
+                method="compute_embedding_loss",
+            )
+            metrics = {k: v for k, v in emb.items() if k != "total_loss"}
+            total = emb["total_loss"]
+            dl = duration_loss(out["duration"], dur, text_length) * self.lambda_dur
+            metrics["duration_loss"] = dl
+            total = total + dl
+            metrics["total_loss"] = total
+            return total, metrics
+
+        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"]["predictor"]
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, new_opt = self.tx.update(
+            grads, state["opt_state"]["predictor"], state["params"]["predictor"]
+        )
+        new_params = optax.apply_updates(state["params"]["predictor"], updates)
+        return (
+            {"params": {"predictor": new_params}, "opt_state": {"predictor": new_opt}},
+            metrics,
+        )
+
+    def train_step(self, state, batch, iteration):
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), iteration)
+        batch = {
+            k: batch[k]
+            for k in ("mel", "mel_length", "text", "text_length", "dur")
+        }
+        return self._step(state, batch, rng)
