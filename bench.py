@@ -37,15 +37,20 @@ def main():
     dur = jnp.full((B, Lt), T // Lt, jnp.float32)
 
     k = jax.random.PRNGKey(0)
-    pvars = predictor.init(
-        {"params": k, "dropout": k}, text, text_length, dur=dur, max_frames=T,
-        deterministic=True,
-    )
+    # jitted init: one compiled program instead of per-parameter dispatches
+    pvars = jax.jit(
+        lambda k: predictor.init(
+            {"params": k, "dropout": k}, text, text_length, dur=dur,
+            max_frames=T, deterministic=True,
+        )
+    )(k)
     mel = jnp.zeros((2, 16, 80), jnp.float32)
-    avars = ae.init(
-        {"params": k, "dropout": k}, mel, jnp.asarray([16, 16]),
-        warmup=False, deterministic=True,
-    )
+    avars = jax.jit(
+        lambda k: ae.init(
+            {"params": k, "dropout": k}, mel, jnp.asarray([16, 16]),
+            warmup=False, deterministic=True,
+        )
+    )(k)
     codebooks = [
         avars["codebook"]["quantizer"][f"vq_{i}"]["embed"] for i in range(2)
     ]

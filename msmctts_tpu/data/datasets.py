@@ -362,6 +362,51 @@ class MelDataset(BaseDataset):
         return out
 
 
+@register_dataset("EmbDataset")
+class EmbDataset(BaseDataset):
+    """SSL-embedding (+mel/wav/pitch/energy) pairs for QS-TTS synthesizer
+    training. The reference names this class in the QS-TTS recipe but never
+    shipped it (SURVEY.md 2.8); reconstructed as an emb-keyed MelDataset:
+    align on frameshifts, bucket-pad on the emb axis."""
+
+    frame_buckets = FRAME_BUCKETS
+
+    def parse_case(self, index):
+        data = super().parse_case(index)
+        return align_features(data, self.frameshift)
+
+    def collate_fn(self, batch):
+        emb_fs = self.frameshift.get("emb", 1)
+        lengths = np.array([b["emb"].shape[0] for b in batch], np.int32)
+        T = bucket_length(int(lengths.max()), self.frame_buckets)
+        out = {
+            "emb": np.stack(
+                [self._pad_to(b["emb"], T, self.padding_value.get("emb", 0)) for b in batch]
+            ).astype(np.float32),
+            "emb_length": lengths,
+        }
+        for name in ("mel", "pitch", "energy"):
+            if name in batch[0]:
+                arrs = [np.atleast_2d(b[name].reshape(b[name].shape[0], -1)) for b in batch]
+                out[name] = np.stack(
+                    [self._pad_to(a, T, self.padding_value.get(name, 0)) for a in arrs]
+                ).astype(np.float32)
+        if "wav" in batch[0]:
+            Tw = T * emb_fs
+            out["wav"] = np.stack(
+                [
+                    self._pad_to(
+                        np.squeeze(b["wav"], -1) if b["wav"].ndim == 2 else b["wav"], Tw, 0.0
+                    )
+                    for b in batch
+                ]
+            ).astype(np.float32)
+            out["wav_length"] = lengths * emb_fs
+        if "_id" in batch[0]:
+            out["_id"] = np.array([b["_id"] for b in batch])
+        return out
+
+
 @register_dataset("TTSDataset")
 class TTSDataset(BaseDataset):
     """text/dur/mel for acoustic-model training (tts_dataset.py:10-99),
@@ -418,15 +463,14 @@ class TTSDataset(BaseDataset):
                 )
         out["text"] = out["text"].astype(np.int32)
 
-        for name in ("mel", "wav", "pitch", "energy"):
+        for name in ("mel", "emb", "wav", "pitch", "energy"):
             if name not in batch[0]:
                 continue
             lengths = np.array([b[name].shape[0] for b in batch], np.int32)
-            if name == "mel":
-                T = bucket_length(int(lengths.max()), self.frame_buckets)
-            elif name == "wav":
+            if name == "wav":
+                frame_fs = self.frameshift.get("mel", self.frameshift.get("emb", 1))
                 T = bucket_length(
-                    int(lengths.max()), tuple(b * self.frameshift.get("mel", 1) for b in self.frame_buckets)
+                    int(lengths.max()), tuple(b * frame_fs for b in self.frame_buckets)
                 )
             else:
                 T = bucket_length(int(lengths.max()), self.frame_buckets)
@@ -435,7 +479,7 @@ class TTSDataset(BaseDataset):
             out[name] = np.stack(
                 [self._pad_to(a, T, self.padding_value.get(name, 0)) for a in arrs]
             ).astype(np.float32)
-            if name in ("mel", "wav"):
+            if name in ("mel", "emb", "wav"):
                 out[name + "_length"] = lengths
         if "_id" in batch[0]:
             out["_id"] = np.array([b["_id"] for b in batch])

@@ -19,7 +19,7 @@ slopes follow the reference (0.1 generator, 0.2 discriminators).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -152,8 +152,15 @@ class DiscriminatorR(nn.Module):
 
 
 class MultiResolutionDiscriminator(nn.Module):
+    """Two config surfaces coexist in the reference recipes:
+    ``hop_lengths``/``hidden_channels`` (fft = 4*hop, CSMSC recipe,
+    discriminator.py:102-116) and ``resolutions`` [[n_fft, hop, win], ...]
+    with a shared ``channels`` (QS-TTS recipe yaml) — both supported."""
+
     hop_lengths: Sequence[int] = (15, 30, 50, 120, 240, 480)
     hidden_channels: Sequence[int] = (128, 128, 256, 256, 512, 512)
+    resolutions: Optional[Sequence[Sequence[int]]] = None
+    channels: Optional[int] = None
     domain: str = "double"
     mel_scale: bool = True
     sample_rate: int = 24000
@@ -163,11 +170,20 @@ class MultiResolutionDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, wav):
         """wav [B, T] -> (scores list, fmaps list-of-lists)."""
+        if self.resolutions is not None:
+            plans = [
+                (n_fft, hop, win, self.channels or 512)
+                for (n_fft, hop, win) in self.resolutions
+            ]
+        else:
+            plans = [
+                (hop * 4, hop, hop * 4, hc)
+                for hop, hc in zip(self.hop_lengths, self.hidden_channels)
+            ]
         scores, fmaps = [], []
-        for idx, (hop, hc) in enumerate(zip(self.hop_lengths, self.hidden_channels)):
-            n_fft = hop * 4
+        for idx, (n_fft, hop, win, hc) in enumerate(plans):
             real, imag = stft_real_imag(
-                wav, n_fft, hop, n_fft, center=True, normalized=True
+                wav, n_fft, hop, win, center=True, normalized=True
             )
             mag = jnp.sqrt(jnp.clip(real * real + imag * imag, min=1e-7))
             if self.mel_scale:

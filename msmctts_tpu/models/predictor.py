@@ -49,6 +49,7 @@ def avg_pool_ceil(x, scale: int):
 
 
 @register_network("MultiStagePredictor")
+@register_network("NASynCascadeFastSpeech")
 class MultiStagePredictor(nn.Module):
     n_symbols: Sequence[int]
     n_model_size: int

@@ -57,6 +57,7 @@ def _populate():
         predictor as _predictor,
     )
     from msmctts_tpu.training import (  # noqa: F401
+        emb_vqgan_trainer as _etr,
         predictor_trainer as _ptr,
         vqgan_trainer as _vtr,
     )

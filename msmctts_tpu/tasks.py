@@ -95,8 +95,13 @@ def extract_codebooks(ae_variables) -> list:
 
 
 @register_task("MSMCTTS")
+@register_task("NASynTTSEmb")
+@register_task("NASynTTSv2")
 class MSMCTTS(BaseTask):
-    """The v2 task (msmc_tts.py:80-152)."""
+    """The v2 task (msmc_tts.py:80-152). Also registered under the QS-TTS
+    config names ``NASynTTSEmb``/``NASynTTSv2`` (classes referenced by
+    examples/qs-tts/configs but missing from the reference tree —
+    SURVEY.md 2.11; their config surface matches MSMCTTS)."""
 
     def __init__(self, config, mode: str = "train"):
         super().__init__(config, mode)

@@ -52,8 +52,47 @@ def build_dataset_from_config(config, training: bool = True, id_list=None):
     return get_dataset(name)(**kwargs)
 
 
+class PackedMetrics:
+    """Mapping over a single packed metrics vector.
+
+    Host transfers of individual device scalars carry a large fixed latency
+    (one D2H round trip each); the jitted steps therefore pack all metrics
+    into ONE float32 vector, and this view fetches it with a single
+    transfer on first access."""
+
+    def __init__(self, names, vec):
+        self._names = names
+        self._vec = vec
+        self._host = None
+
+    def _fetch(self):
+        if self._host is None:
+            self._host = np.asarray(self._vec)
+        return self._host
+
+    def __getitem__(self, key):
+        return self._fetch()[self._names.index(key)]
+
+    def __contains__(self, key):
+        return key in self._names
+
+    def __iter__(self):
+        return iter(self._names)
+
+    def keys(self):
+        return self._names
+
+    def items(self):
+        host = self._fetch()
+        return [(k, host[i]) for i, k in enumerate(self._names)]
+
+    def to_host(self):
+        return {k: float(v) for k, v in self.items()}
+
+
 class BaseTrainer:
     def __init__(self, config, task, mesh=None):
+        self._metric_names = {}
         self.config = config
         self.task = task
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -64,6 +103,21 @@ class BaseTrainer:
         self.seed = int(config.get("seed", 1234))
         self.state = None
         self.iteration = 0
+
+    # --------------------------------------------------------- metric packing
+    def _pack_metrics(self, tag: str, metrics: dict):
+        """Inside a jitted step: pack the metrics dict into one f32 vector
+        (trace-time side effect records the name order for unpacking)."""
+        import jax.numpy as jnp
+
+        names = tuple(sorted(metrics))
+        self._metric_names[tag] = names
+        return jnp.stack(
+            [jnp.reshape(jnp.asarray(metrics[k], jnp.float32), ()) for k in names]
+        )
+
+    def _unpack_metrics(self, tag: str, vec) -> PackedMetrics:
+        return PackedMetrics(self._metric_names[tag], vec)
 
     # ------------------------------------------------------ to be overridden
     def init_state(self, rng, sample_batch) -> dict:
@@ -146,7 +200,11 @@ class BaseTrainer:
             batch = pad_batch_to_devices(next(it), self.n_devices)
 
             if self.iteration % log_every == 0:
-                host = {k: float(v) for k, v in metrics.items()}
+                host = (
+                    metrics.to_host()
+                    if hasattr(metrics, "to_host")
+                    else {k: float(v) for k, v in metrics.items()}
+                )
                 dt = (time.time() - t0) / log_every
                 host["steps_per_sec"] = 1.0 / max(dt, 1e-9)
                 logger.log(self.iteration, {"loss": host})

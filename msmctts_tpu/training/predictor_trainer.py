@@ -60,30 +60,36 @@ class PredictorTrainer(BaseTrainer):
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 
     def init_state(self, rng, batch):
-        r_p, r_drop = jax.random.split(rng)
-        # teacher shapes for init
-        q = self.ae.apply(
-            self.ae_variables,
-            jnp.asarray(batch["mel"]),
-            jnp.asarray(batch["mel_length"]),
-            method="analysis",
-            deterministic=True,
-        )
-        pvars = self.predictor.init(
-            {"params": r_p, "dropout": r_drop},
-            jnp.asarray(batch["text"]),
-            jnp.asarray(batch["text_length"]),
-            dur=jnp.asarray(batch["dur"]),
-            feat=q["quantizer_outputs"],
-            feat_length=q["quantizer_lengths"],
-            deterministic=False,
-        )
-        return {
-            "params": {"predictor": pvars["params"]},
-            "opt_state": {"predictor": self.tx.init(pvars["params"])},
+        arrays = {
+            k: jnp.asarray(batch[k])
+            for k in ("mel", "mel_length", "text", "text_length", "dur")
         }
 
-    def _step_impl(self, state, batch, rng):
+        @jax.jit
+        def _init(rng, b):
+            r_p, r_drop = jax.random.split(rng)
+            q = self.ae.apply(
+                self.ae_variables, b["mel"], b["mel_length"],
+                method="analysis", deterministic=True,
+            )
+            pvars = self.predictor.init(
+                {"params": r_p, "dropout": r_drop},
+                b["text"],
+                b["text_length"],
+                dur=b["dur"],
+                feat=q["quantizer_outputs"],
+                feat_length=q["quantizer_lengths"],
+                deterministic=False,
+            )
+            return {
+                "params": {"predictor": pvars["params"]},
+                "opt_state": {"predictor": self.tx.init(pvars["params"])},
+            }
+
+        return _init(rng, arrays)
+
+    def _step_impl(self, state, batch, step):
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
         mel, mel_length = batch["mel"], batch["mel_length"]
         text, text_length = batch["text"], batch["text_length"]
         dur = batch["dur"]
@@ -134,13 +140,14 @@ class PredictorTrainer(BaseTrainer):
         new_params = optax.apply_updates(state["params"]["predictor"], updates)
         return (
             {"params": {"predictor": new_params}, "opt_state": {"predictor": new_opt}},
-            metrics,
+            self._pack_metrics("step", metrics),
         )
 
     def train_step(self, state, batch, iteration):
-        rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), iteration)
+        import numpy as np
         batch = {
             k: batch[k]
             for k in ("mel", "mel_length", "text", "text_length", "dur")
         }
-        return self._step(state, batch, rng)
+        state, vec = self._step(state, batch, np.uint32(iteration))
+        return state, self._unpack_metrics("step", vec)

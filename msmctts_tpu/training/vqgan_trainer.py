@@ -101,36 +101,44 @@ class VQGANTrainer(BaseTrainer):
 
     # ----------------------------------------------------------------- state
     def init_state(self, rng, batch):
-        r_ae, r_d, r_drop = jax.random.split(rng, 3)
         mel = jnp.asarray(batch["mel"])
         mel_length = jnp.asarray(batch["mel_length"])
-        # init the FULL graph (warmup=True would skip the waveform decoder
-        # and leave its params uncreated); a minimal window keeps it cheap.
-        init_kwargs = dict(warmup=False, deterministic=False)
-        if self.frame_lengths > 0:
-            init_kwargs.update(
-                window_starts=jnp.zeros((mel.shape[0],), jnp.int32),
-                window_frames=self.frame_lengths,
+
+        # One jitted program for the whole init: eager flax init dispatches
+        # one tiny XLA computation per parameter, which is ruinously slow.
+        @jax.jit
+        def _init(rng, mel, mel_length):
+            r_ae, r_d, r_drop = jax.random.split(rng, 3)
+            # init the FULL graph (warmup=True would skip the waveform
+            # decoder and leave its params uncreated); a minimal window
+            # keeps it cheap.
+            init_kwargs = dict(warmup=False, deterministic=False)
+            if self.frame_lengths > 0:
+                init_kwargs.update(
+                    window_starts=jnp.zeros((mel.shape[0],), jnp.int32),
+                    window_frames=self.frame_lengths,
+                )
+            ae_vars = self.ae.init(
+                {"params": r_ae, "dropout": r_drop}, mel, mel_length, **init_kwargs
             )
-        ae_vars = self.ae.init(
-            {"params": r_ae, "dropout": r_drop}, mel, mel_length, **init_kwargs
-        )
-        wav_win = jnp.zeros(
-            (mel.shape[0], max(self.sample_lengths, self.frameshift)), jnp.float32
-        )
-        d_vars = self.disc.init(r_d, wav_win)
-        params = {
-            "autoencoder": ae_vars["params"],
-            "discriminator": d_vars["params"],
-        }
-        return {
-            "params": params,
-            "codebook": ae_vars["codebook"],
-            "opt_state": {
-                "autoencoder": self.ae_tx.init(ae_vars["params"]),
-                "discriminator": self.d_tx.init(d_vars["params"]),
-            },
-        }
+            wav_win = jnp.zeros(
+                (mel.shape[0], max(self.sample_lengths, self.frameshift)),
+                jnp.float32,
+            )
+            d_vars = self.disc.init(r_d, wav_win)
+            return {
+                "params": {
+                    "autoencoder": ae_vars["params"],
+                    "discriminator": d_vars["params"],
+                },
+                "codebook": ae_vars["codebook"],
+                "opt_state": {
+                    "autoencoder": self.ae_tx.init(ae_vars["params"]),
+                    "discriminator": self.d_tx.init(d_vars["params"]),
+                },
+            }
+
+        return _init(rng, mel, mel_length)
 
     # ------------------------------------------------------------ loss parts
     def _stft_loss(self, fake, target):
@@ -208,7 +216,8 @@ class VQGANTrainer(BaseTrainer):
         return g, metrics
 
     # -------------------------------------------------------------- warmup
-    def _warmup_step_impl(self, state, batch, rng):
+    def _warmup_step_impl(self, state, batch, step):
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
         mel, mel_length = batch["mel"], batch["mel_length"]
 
         def loss_fn(params):
@@ -237,10 +246,11 @@ class VQGANTrainer(BaseTrainer):
                 "discriminator": state["opt_state"]["discriminator"],
             },
         }
-        return new_state, metrics
+        return new_state, self._pack_metrics("warmup", metrics)
 
     # ----------------------------------------------------------------- GAN
-    def _gan_step_impl(self, state, batch, rng):
+    def _gan_step_impl(self, state, batch, step):
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
         mel, mel_length = batch["mel"], batch["mel_length"]
         wav = batch["wav"]
         B = mel.shape[0]
@@ -326,13 +336,16 @@ class VQGANTrainer(BaseTrainer):
             "codebook": aux["codebook"],
             "opt_state": {"autoencoder": new_ae_opt, "discriminator": new_d_opt},
         }
-        return new_state, metrics
+        return new_state, self._pack_metrics("gan", metrics)
 
     # ------------------------------------------------------------------ api
     def train_step(self, state, batch, iteration):
-        rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), iteration)
+        import numpy as np
+        step = np.uint32(iteration)
         if iteration <= self.warmup_steps:
             batch = {k: batch[k] for k in ("mel", "mel_length")}
-            return self._warmup_step(state, batch, rng)
+            state, vec = self._warmup_step(state, batch, step)
+            return state, self._unpack_metrics("warmup", vec)
         batch = {k: batch[k] for k in ("mel", "mel_length", "wav")}
-        return self._gan_step(state, batch, rng)
+        state, vec = self._gan_step(state, batch, step)
+        return state, self._unpack_metrics("gan", vec)

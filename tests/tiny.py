@@ -208,6 +208,153 @@ def tiny_am_config(tmpdir: str, ae_checkpoint: str) -> Config:
     )
 
 
+def tiny_emb_config(tmpdir: str) -> Config:
+    """QS-TTS synthesizer: 12-dim 'SSL' embeddings + pitch/energy + mel,
+    adversarial prosody estimator, ECAPA global encoder."""
+    return Config(
+        {
+            "id": "tiny_emb",
+            "task": {
+                "_name": "MSMCTTS",
+                "_mode": "train_autoencoder",
+                "autoencoder": {
+                    "_name": "MSMCVQGANEmb",
+                    "emb_dim": 12,
+                    "n_model_size": 16,
+                    "pitch_dim": 1,
+                    "energy_dim": 1,
+                    "mel_dim": MEL_DIM,
+                    "pred_mel": True,
+                    "encoder_config": {
+                        "downsample_scales": [1, 2],
+                        "max_seq_len": 64,
+                        "n_layers": 1,
+                        "n_head": 2,
+                        "d_k": 8,
+                        "d_v": 8,
+                        "d_inner": 32,
+                        "dropout": 0.1,
+                        "attn_dropout": 0.0,
+                    },
+                    "quantizer_config": {
+                        "embedding_sizes": 8,
+                        "embedding_dims": 16,
+                        "n_heads": 2,
+                        "prior_config": {
+                            "kernel_size": 3,
+                            "dilation_rate": 1,
+                            "n_layers": 1,
+                        },
+                    },
+                    "global_encoder_config": {"_name": "ECAPA_TDNN"},
+                    "decoder_config": {
+                        "upsample_rates": [2, 2],
+                        "upsample_kernel_sizes": [4, 4],
+                        "upsample_initial_channel": 16,
+                        "resblock_kernel_sizes": [3],
+                        "resblock_dilation_sizes": [[1, 3]],
+                    },
+                },
+                "prosody_estimator": {
+                    "_name": "AttrPredictor",
+                    "in_channels": 16,
+                    "out_channels": 2,
+                    "kernel_size": 3,
+                    "n_layers": 1,
+                },
+                "discriminator": {
+                    "_name": "UnivNetDiscriminator",
+                    "mrd_config": {
+                        "hop_lengths": [4, 8],
+                        "hidden_channels": [32, 32],
+                        "domain": "double",
+                        "mel_scale": True,
+                        "sample_rate": 1600,
+                    },
+                    "mpd_config": {"periods": [2, 3], "channels": 4, "max_channels": 16},
+                },
+            },
+            "trainer": {
+                "_name": "EmbVQGANTrainer",
+                "grad_clip_thresh": 1.0,
+                "frame_loss_supervised_step": 1,
+                "stft_loss_supervised_step": 1,
+                "sample_batch_size": 2,
+                "sample_lengths": 32,
+                "lambda_vq": 1,
+                "lambda_pr": 0.1,
+                "lambda_frame": 10,
+                "lambda_fm": 2,
+                "lambda_stft": 4.5,
+                "stft_loss_config": {
+                    "fft_size": 64,
+                    "hop_size": 16,
+                    "win_size": 64,
+                    "num_mels": 8,
+                },
+            },
+            "optimizer": {
+                "_default": {
+                    "_name": "AdamW",
+                    "learning_rate": 2e-4,
+                    "betas": [0.8, 0.99],
+                    "eps": 1e-8,
+                    "weight_decay": 0.0,
+                }
+            },
+            "dataloader": {"batch_size": 4, "num_workers": 0},
+            "dataset": {
+                "_name": "EmbDataset",
+                "id_list": f"{tmpdir}/train.list",
+                "samplerate": 1600,
+                "feature": ["emb", "pitch", "energy", "mel", "wav"],
+                "feature_path": [
+                    f"{tmpdir}/emb/{{}}.npy",
+                    f"{tmpdir}/pitch/{{}}.npy",
+                    f"{tmpdir}/energy/{{}}.npy",
+                    f"{tmpdir}/mel/{{}}.npy",
+                    f"{tmpdir}/wav/{{}}.wav",
+                ],
+                "dimension": [12, 1, 1, MEL_DIM, 1],
+                "frameshift": [FRAMESHIFT, FRAMESHIFT, FRAMESHIFT, FRAMESHIFT, 1],
+                "padding_value": [0, 0, 0, -4, 0],
+                "segment_length": -1,
+            },
+            "save_checkpoint_dir": f"{tmpdir}/ckpt_emb",
+            "training_steps": 10,
+            "iters_per_checkpoint": 5,
+        }
+    )
+
+
+def write_tiny_emb_dataset(tmpdir: str, n_utts: int = 6, seed: int = 0):
+    """emb/pitch/energy/mel/wav corpus for the QS-TTS tiny recipe."""
+    import os
+
+    from msmctts_tpu.data.datasets import save_wav
+
+    rng = np.random.default_rng(seed)
+    for sub in ("emb", "pitch", "energy", "mel", "wav"):
+        os.makedirs(f"{tmpdir}/{sub}", exist_ok=True)
+    ids = []
+    for i in range(n_utts):
+        uid = f"utt{i:03d}"
+        ids.append(uid)
+        frames = int(rng.integers(12, 28))
+        np.save(f"{tmpdir}/emb/{uid}.npy", rng.normal(size=(frames, 12)).astype(np.float32))
+        np.save(f"{tmpdir}/pitch/{uid}.npy", rng.normal(size=(frames, 1)).astype(np.float32))
+        np.save(f"{tmpdir}/energy/{uid}.npy", rng.normal(size=(frames, 1)).astype(np.float32))
+        np.save(f"{tmpdir}/mel/{uid}.npy", rng.normal(size=(frames, MEL_DIM)).astype(np.float32))
+        save_wav(
+            f"{tmpdir}/wav/{uid}.wav",
+            (rng.normal(size=frames * FRAMESHIFT) * 0.1).astype(np.float32),
+            1600,
+        )
+    with open(f"{tmpdir}/train.list", "w") as f:
+        f.write("\n".join(ids) + "\n")
+    return ids
+
+
 def write_tiny_dataset(tmpdir: str, n_utts: int = 6, seed: int = 0):
     """Synthetic mel/wav/text/dur corpus matching the tiny configs."""
     import os

@@ -24,6 +24,7 @@ def main():
     parser.add_argument("-c", "--config", required=True)
     parser.add_argument("--max-steps", type=int, default=None,
                         help="stop after N steps (debug)")
+    parser.add_argument("--log-every", type=int, default=50)
     parser.add_argument("--coordinator", default=None,
                         help="host:port for multi-host jax.distributed init")
     parser.add_argument("--num-processes", type=int, default=None)
@@ -45,7 +46,7 @@ def main():
 
     name = config.trainer["_name"]
     trainer = get_trainer(name)(config, task, **component_kwargs(config.trainer))
-    trainer.train(max_steps=args.max_steps)
+    trainer.train(max_steps=args.max_steps, log_every=args.log_every)
 
 
 if __name__ == "__main__":
