@@ -9,6 +9,7 @@ real-time per chip (BASELINE.md). Weights are randomly initialized (the
 compute graph, not the audio, is what is being measured).
 """
 
+import argparse
 import json
 import time
 
@@ -19,12 +20,18 @@ import numpy as np
 from msmctts_tpu.config import component_kwargs, load_yaml
 from msmctts_tpu.models.msmc_vqgan import MSMCVQGAN
 from msmctts_tpu.models.predictor import MultiStagePredictor
+from msmctts_tpu.parallel.precision import cast_floats
 
 SAMPLE_RATE = 24000
 FRAMESHIFT = 300  # samples per frame (12.5 ms)
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--fp32", action="store_true",
+                        help="benchmark in float32 instead of bfloat16")
+    args = parser.parse_args()
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     ae_node = load_yaml("examples/csmsc/configs/msmc_vq_gan.yaml")["task"]["autoencoder"]
     am_node = load_yaml("examples/csmsc/configs/msmc_vq_gan_am.yaml")["task"]["predictor"]
     ae = MSMCVQGAN(**component_kwargs(ae_node))
@@ -54,6 +61,9 @@ def main():
     codebooks = [
         avars["codebook"]["quantizer"][f"vq_{i}"]["embed"] for i in range(2)
     ]
+    # production inference precision: bf16 activations/params, fp32 VQ
+    pvars = dict(pvars, params=cast_floats(pvars["params"], dtype))
+    avars = dict(avars, params=cast_floats(avars["params"], dtype))
 
     @jax.jit
     def tts(pv, av, text, text_length, dur, cbs):

@@ -52,6 +52,8 @@ def main():
     parser.add_argument("-t", "--test_list", required=True)
     parser.add_argument("-o", "--output", default=None)
     parser.add_argument("-b", "--batch_size", type=int, default=1)
+    parser.add_argument("--debug", action="store_true",
+                        help="route batches through task.debug_step")
     args = parser.parse_args()
 
     ckpt = load_checkpoint(args.model)
@@ -76,9 +78,10 @@ def main():
 
     save_features = config.get("save_features") or [["wav", ".wav", config.dataset["samplerate"]]]
 
+    step_fn = task.debug_step if args.debug else task.infer_step
     for batch in finite_loader(dataset, args.batch_size):
         ids = batch.pop("_id", None)
-        output = task.infer_step(batch)
+        output = step_fn(batch)
         n = len(next(iter(output.values())))
         for j in range(n):
             case = dataset.id_list[int(ids[j])] if ids is not None else (str(j),)

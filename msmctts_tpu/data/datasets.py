@@ -227,8 +227,23 @@ class BaseDataset:
         ext = os.path.splitext(path.split(":")[0] if ":" in path else path)[-1]
         src = self._open_maybe_zip(path)
         if ext == ".npy":
+            if isinstance(src, str):
+                from msmctts_tpu.data import native
+
+                if native.native_available():
+                    return native.read_npy(src)
             return np.load(src).astype(np.float32)
         if ext == ".wav":
+            if isinstance(src, str):
+                from msmctts_tpu.data import native
+
+                if native.native_available():
+                    data, sr = native.read_wav(src)
+                    if self.samplerate and sr != self.samplerate:
+                        raise ValueError(
+                            f"sample rate mismatch: file {sr} != config {self.samplerate}"
+                        )
+                    return data[:, None]
             return load_wav(src, self.samplerate)[:, None]
         if ext == ".pt":
             import torch

@@ -123,6 +123,40 @@ class HifiGANGenerator(nn.Module):
         return jnp.tanh(x)
 
 
+@register_network("MSGenerator")
+class MSGenerator(nn.Module):
+    """Speaker-conditioned HiFi-GAN: a global speaker embedding is
+    broadcast over time and concatenated to the mel input before the
+    standard generator stack. The reference's version is unusable (its
+    ``super(Generator, ...)`` call skips its own __init__,
+    hifigan/generator.py:67-128); this is the working equivalent."""
+
+    resblock_kernel_sizes: Sequence[int]
+    resblock_dilation_sizes: Sequence[Sequence[int]]
+    upsample_rates: Sequence[int]
+    upsample_initial_channel: int
+    upsample_kernel_sizes: Sequence[int]
+    num_mels: int = 80
+    spk_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x, spk):
+        """x [B, T, num_mels], spk [B, spk_dim] -> [B, T*prod(rates), 1]."""
+        spk_t = jnp.broadcast_to(
+            spk[:, None, :], (x.shape[0], x.shape[1], spk.shape[-1])
+        ).astype(x.dtype)
+        x = jnp.concatenate([x, spk_t], axis=-1)
+        return HifiGANGenerator(
+            resblock_kernel_sizes=self.resblock_kernel_sizes,
+            resblock_dilation_sizes=self.resblock_dilation_sizes,
+            upsample_rates=self.upsample_rates,
+            upsample_initial_channel=self.upsample_initial_channel,
+            upsample_kernel_sizes=self.upsample_kernel_sizes,
+            num_mels=self.num_mels + self.spk_dim,
+            name="generator",
+        )(x)
+
+
 class DiscriminatorR(nn.Module):
     """7-stage 3x3 conv2d spectrogram discriminator with reflection padding
     (discriminator.py:15-76). Input [B, F, T, C]; returns (score, fmaps[:-1])."""

@@ -135,8 +135,12 @@ class EMAQuantizer(nn.Module):
             embed_avg.value = new_ea
             embed.value = new_ea / smoothed[:, None, :]
 
-        quant = quant.reshape(B, T, D).astype(x.dtype)
-        diff = jnp.square(jax.lax.stop_gradient(quant) - x)
+        quant = quant.reshape(B, T, D)
+        # commitment diff in float32 even under bf16 activations
+        diff = jnp.square(
+            jax.lax.stop_gradient(quant.astype(jnp.float32)) - x.astype(jnp.float32)
+        )
+        quant = quant.astype(x.dtype)
         quant_st = x + jax.lax.stop_gradient(quant - x)
         return quant_st, diff, indices
 

@@ -28,6 +28,10 @@ import numpy as np
 
 
 def _wn_kernel(v, g, norm_axes):
+    # normalization always in float32: under bf16 compute the direction
+    # norm must not be computed in half precision
+    v = v.astype(jnp.float32)
+    g = g.astype(jnp.float32)
     norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=norm_axes, keepdims=True))
     shape = [1] * v.ndim
     for ax in range(v.ndim):

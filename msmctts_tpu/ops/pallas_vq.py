@@ -1,0 +1,131 @@
+"""Pallas TPU kernel: fused multi-head VQ nearest-codeword search.
+
+One kernel pass over head-major [H, N, d] inputs computes, per head:
+  * squared-L2 distances to all K codewords as ONE MXU contraction
+    (``dist = |x|^2 - 2 x.E + |E|^2``),
+  * argmin indices,
+  * the quantized vectors via a one-hot matmul (gather-free, MXU),
+  * masked EMA statistics (codeword counts and input sums) accumulated
+    on-chip across row tiles,
+all without materializing the [H, N, K] distance tensor or the one-hot
+tensor in HBM — replacing four separate XLA ops in the quantizer hot loop
+(reference equivalent: modules.py:25-45, cuBLAS matmul + reduce + gather +
+scatter; SURVEY.md 2.12).
+
+Layout note: blocks must keep their last two dims (8,128)-aligned or
+full-size on TPU, so the head axis leads and each block is one head x one
+row tile. The unfused jax path (models/quantizer.py) remains the default
+under automatic SPMD partitioning (a pallas_call is opaque to the
+partitioner); this kernel serves single-shard paths — inference snapping
+and explicitly shard_mapped training steps — via ``vq_nearest_stats``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_M = 256
+
+
+def _vq_kernel(x_ref, embed_ref, mask_ref, idx_ref, quant_ref, count_ref, sum_ref):
+    """Grid (H, M_tiles). Blocks (head-major):
+    x [1, TILE_M, d], embed [1, d, K], mask [TILE_M, 1],
+    idx [1, TILE_M, 1] int32, quant [1, TILE_M, d],
+    count [1, 1, K] (accumulated), sum [1, d, K] (accumulated)."""
+    m = pl.program_id(1)
+
+    _, tile_m, d = x_ref.shape
+    K = embed_ref.shape[-1]
+    x = x_ref[...].reshape(tile_m, d).astype(jnp.float32)
+    embed = embed_ref[...].reshape(d, K).astype(jnp.float32)
+
+    x_sq = jnp.sum(x * x, axis=1, keepdims=True)  # [TILE_M, 1]
+    e_sq = jnp.sum(embed * embed, axis=0, keepdims=True)  # [1, K]
+    # full f32 MXU precision: argmin must match the unfused fp32 path
+    xe = jnp.dot(
+        x, embed,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [TILE_M, K]
+    dist = x_sq - 2.0 * xe + e_sq
+
+    idx = jnp.argmin(dist, axis=1).astype(jnp.int32)  # [TILE_M]
+    idx_ref[...] = idx.reshape(1, tile_m, 1)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_m, K), 1)
+    onehot = (col == idx[:, None]).astype(jnp.float32)  # [TILE_M, K]
+    # quantized rows: one-hot gather as an MXU matmul
+    quant = jnp.dot(onehot, embed.T, preferred_element_type=jnp.float32)
+    quant_ref[...] = quant.reshape(1, tile_m, d)
+
+    masked = onehot * mask_ref[...].astype(jnp.float32)  # [TILE_M, K]
+
+    @pl.when(m == 0)
+    def _():
+        count_ref[...] = jnp.zeros_like(count_ref)
+        sum_ref[...] = jnp.zeros_like(sum_ref)
+
+    count_ref[...] += jnp.sum(masked, axis=0).reshape(1, 1, K)
+    sum_ref[...] += jnp.dot(
+        x.T, masked, preferred_element_type=jnp.float32
+    ).reshape(1, d, K)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def vq_nearest_stats(x, embed, mask, interpret: bool = False):
+    """x [N, H, d], embed [H, d, K], mask [N] validity ->
+    (indices [N, H] int32, quant [N, H, d] f32,
+     counts [H, K] f32, sums [H, d, K] f32).
+
+    Pads N up to a tile multiple internally (padded rows masked out of the
+    statistics; their indices/quant rows are cropped)."""
+    N, H, d = x.shape
+    K = embed.shape[-1]
+    n_pad = (-N) % TILE_M
+    if n_pad:
+        x = jnp.pad(x, ((0, n_pad), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, (0, n_pad))
+    Np = x.shape[0]
+    m_tiles = Np // TILE_M
+
+    xh = jnp.swapaxes(x, 0, 1)  # [H, Np, d] head-major for aligned blocks
+    grid = (H, m_tiles)
+    idx, quant, counts, sums = pl.pallas_call(
+        _vq_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TILE_M, d), lambda h, m: (h, m, 0)),
+            pl.BlockSpec((1, d, K), lambda h, m: (h, 0, 0)),
+            pl.BlockSpec((TILE_M, 1), lambda h, m: (m, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_M, 1), lambda h, m: (h, m, 0)),
+            pl.BlockSpec((1, TILE_M, d), lambda h, m: (h, m, 0)),
+            pl.BlockSpec((1, 1, K), lambda h, m: (h, 0, 0)),
+            pl.BlockSpec((1, d, K), lambda h, m: (h, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, Np, 1), jnp.int32),
+            jax.ShapeDtypeStruct((H, Np, d), jnp.float32),
+            jax.ShapeDtypeStruct((H, 1, K), jnp.float32),
+            jax.ShapeDtypeStruct((H, d, K), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xh, embed, mask[:, None].astype(jnp.float32))
+    idx = jnp.swapaxes(idx[..., 0], 0, 1)[:N]  # [N, H]
+    quant = jnp.swapaxes(quant, 0, 1)[:N]  # [N, H, d]
+    return idx, quant, counts[:, 0, :], sums
+
+
+def vq_nearest(x, embed, interpret: bool = False):
+    """Nearest-codeword snap without statistics: (indices [N, H],
+    quant [N, H, d])."""
+    mask = jnp.zeros((x.shape[0],), jnp.float32)
+    idx, quant, _, _ = vq_nearest_stats(x, embed, mask, interpret=interpret)
+    return idx, quant

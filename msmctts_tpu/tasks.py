@@ -94,6 +94,87 @@ def extract_codebooks(ae_variables) -> list:
     return out
 
 
+@register_task("TTS")
+class TTS(BaseTask):
+    """Legacy v1-style task (msmc_tts.py:10-77): a generic acoustic model
+    (+ optional separate ``vocoder`` sub-network). At inference the
+    predicted mel is split into per-stage chunks and average-pooled by the
+    autoencoder's ``downsample_scales`` before ``synthesis``
+    (msmc_tts.py:33-45); a plain mel-to-wav vocoder is applied when the
+    task has no autoencoder."""
+
+    def __init__(self, config, mode: str = "train"):
+        super().__init__(config, mode)
+        ds = config.dataset
+        self.samplerate = ds["samplerate"]
+        self.fs = {f: s for f, s in zip(ds["feature"], ds["frameshift"])}
+        self.variables: Dict[str, dict] = {}
+        self._jit_cache: Dict = {}
+
+    def load_variables(self, state: dict):
+        for name in self.networks:
+            if name in state.get("params", {}):
+                v = {"params": state["params"][name]}
+                if "codebook" in state:
+                    v["codebook"] = state["codebook"]
+                self.variables[name] = v
+
+    def infer_step(self, batch: dict) -> dict:
+        am = self.networks["acoustic_model"]
+        amv = self.variables["acoustic_model"]
+        out = {}
+        mel_length = jnp.asarray(batch.get("mel_length", batch.get("text_length")))
+
+        @jax.jit
+        def am_fn(v, b):
+            return am.apply(v, **b, deterministic=True)
+
+        am_out = am_fn(amv, {k: jnp.asarray(v) for k, v in batch.items()})
+        if isinstance(am_out, dict):
+            mel = am_out["mel"]
+            out["mel_length"] = np.asarray(am_out.get("mel_length", mel_length))
+        else:
+            mel = am_out
+            out["mel_length"] = np.asarray(mel_length)
+
+        if "autoencoder" in self.networks and "autoencoder" in self.variables:
+            ae = self.networks["autoencoder"]
+            aev = self.variables["autoencoder"]
+            scales = list(ae.encoder.downsample_scales)
+            chunks = jnp.split(jnp.asarray(mel), len(scales), axis=-1)
+            preds, lengths, cum = [], [], 1
+            for i, scale in enumerate(scales):
+                cum *= scale
+                c = chunks[i]
+                if cum > 1:
+                    B, T, C = c.shape
+                    c = jnp.mean(c.reshape(B, T // cum, cum, C), axis=2)
+                preds.append(c)
+                lengths.append(jnp.ceil(mel_length / cum).astype(jnp.int32))
+            wav = ae.apply(
+                aev, preds[::-1], lengths[::-1], method="synthesis",
+                deterministic=True,
+            )
+            ratio = wav.shape[1] // mel.shape[1]
+            out["wav"] = [
+                np.asarray(w)[: int(l) * ratio, 0]
+                for w, l in zip(wav, out["mel_length"])
+            ]
+        elif "vocoder" in self.networks and "vocoder" in self.variables:
+            voc = self.networks["vocoder"]
+            wav = voc.apply(self.variables["vocoder"], jnp.asarray(mel))
+            ratio = wav.shape[1] // mel.shape[1]
+            out["wav"] = [
+                np.asarray(w)[: int(l) * ratio, 0]
+                for w, l in zip(wav, out["mel_length"])
+            ]
+        else:
+            out["mel"] = [
+                np.asarray(m)[: int(l)] for m, l in zip(mel, out["mel_length"])
+            ]
+        return out
+
+
 @register_task("MSMCTTS")
 @register_task("NASynTTSEmb")
 @register_task("NASynTTSv2")
@@ -112,6 +193,19 @@ class MSMCTTS(BaseTask):
         self.variables: Dict[str, dict] = {}
         self._loaded_modules = False
         self._jit_cache: Dict = {}
+        from msmctts_tpu.parallel.precision import compute_dtype
+
+        self.compute_dtype = compute_dtype(config)
+
+    def _cast(self, variables: dict) -> dict:
+        """Inference-time precision: cast params to the compute dtype
+        (config ``precision:``); codebooks stay float32."""
+        from msmctts_tpu.parallel.precision import cast_floats
+
+        out = dict(variables)
+        if "params" in out:
+            out["params"] = cast_floats(out["params"], self.compute_dtype)
+        return out
 
     # ------------------------------------------------------------ loading
     def load_variables(self, state: dict):
@@ -121,7 +215,7 @@ class MSMCTTS(BaseTask):
                 v = {"params": state["params"][name]}
                 if name == "autoencoder" and "codebook" in state:
                     v["codebook"] = state["codebook"]
-                self.variables[name] = v
+                self.variables[name] = self._cast(v)
 
     def pre_infer(self):
         self._loaded_modules = True
@@ -131,7 +225,7 @@ class MSMCTTS(BaseTask):
                 node["_checkpoint"], node.get("_config")
             )
             self.networks["autoencoder"] = module
-            self.variables["autoencoder"] = variables
+            self.variables["autoencoder"] = self._cast(variables)
 
     # ------------------------------------------------------------- infer
     def infer_step(self, batch: dict) -> dict:
@@ -140,6 +234,22 @@ class MSMCTTS(BaseTask):
         if not self._loaded_modules:
             self.pre_infer()
         return self.predict(batch)
+
+    def debug_step(self, batch: dict) -> dict:
+        """Diagnostic mode (``infer.py --debug``; the reference's
+        ``debug_step`` is an empty stub, base_task.py:32-33). For the AE
+        mode this additionally returns per-stage quantizer indices and
+        pre-quantization embeddings for representation inspection."""
+        out = self.infer_step(batch)
+        if self.training_mode == "train_autoencoder":
+            ae = self.networks["autoencoder"]
+            variables = self.variables["autoencoder"]
+            q = jax.jit(
+                lambda v, m, l: ae.apply(v, m, l, method="analysis", deterministic=True)
+            )(variables, jnp.asarray(batch["mel"]), jnp.asarray(batch["mel_length"]))
+            out["indices"] = [np.asarray(x) for x in q["quantizer_indices"]]
+            out["embedding"] = [np.asarray(x) for x in q["quantizer_outputs"]]
+        return out
 
     def analysis_synthesis(self, batch: dict) -> dict:
         """Full AE round trip (msmc_tts.py:129-133)."""

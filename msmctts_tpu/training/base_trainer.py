@@ -139,7 +139,16 @@ class BaseTrainer:
         restore = self.config.get("restore_checkpoint_path") or None
         pretrain = self.config.get("pretrain_checkpoint_path") or None
         path = latest or restore
-        if path:
+        if isinstance(path, (list, tuple)):
+            # checkpoint stitching: [[module_regex, path], ...]
+            # (reference utils.py:209-221)
+            from msmctts_tpu.utils.checkpoint import filter_state_by_regex
+
+            for pattern, part_path in path:
+                part = load_checkpoint(part_path)
+                subset = filter_state_by_regex(part["state"], pattern)
+                self.state = merge_states(self.state, subset)
+        elif path:
             ckpt = load_checkpoint(path)
             self.state = merge_states(self.state, ckpt["state"])
             self.iteration = int(ckpt["iteration"])
@@ -162,7 +171,18 @@ class BaseTrainer:
         save_checkpoint(path, self.state, self.iteration, cfg)
 
     # ------------------------------------------------------------------ loop
-    def train(self, max_steps: Optional[int] = None, log_every: int = 50):
+    def train(
+        self,
+        max_steps: Optional[int] = None,
+        log_every: int = 50,
+        profile_dir: Optional[str] = None,
+        profile_start: int = 10,
+        profile_steps: int = 5,
+    ):
+        """``profile_dir`` captures a jax.profiler trace of steps
+        [profile_start, profile_start + profile_steps) — the TPU-native
+        replacement for the reference's (disabled) NVTX ranges
+        (transformer.py:43-61, SURVEY.md 5)."""
         dl_cfg = self.config.get("dataloader", {})
         dataset = build_dataset_from_config(self.config, training=True)
         global_batch = int(dl_cfg.get("batch_size", 16))
@@ -191,10 +211,19 @@ class BaseTrainer:
 
         t0 = time.time()
         batch = sample
+        profiling = False
         while self.iteration < stop_at:
             self.iteration += 1
+            if profile_dir and self.iteration == profile_start:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
             sharded = shard_batch(batch, self.mesh)
             self.state, metrics = self.train_step(self.state, sharded, self.iteration)
+            if profiling and self.iteration >= profile_start + profile_steps - 1:
+                jax.block_until_ready(self.state)
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.text(f"profiler trace written to {profile_dir}")
             # loader threads prefetch in the background; this next() overlaps
             # with the async device step
             batch = pad_batch_to_devices(next(it), self.n_devices)

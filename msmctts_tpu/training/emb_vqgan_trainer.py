@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from msmctts_tpu.parallel.precision import cast_floats
 from msmctts_tpu.registry import register_trainer
 from msmctts_tpu.tasks import load_frozen_autoencoder
 from msmctts_tpu.training.base_trainer import BaseTrainer
@@ -134,6 +135,11 @@ class EmbVQGANTrainer(VQGANTrainer):
                 window_starts=win_starts,
                 window_frames=self.frame_lengths,
             )
+        params = cast_floats(params, self.compute_dtype)
+        inputs = {
+            k: (cast_floats(v, self.compute_dtype) if k != "emb_length" else v)
+            for k, v in inputs.items()
+        }
         variables = {"params": params, "codebook": state["codebook"]}
         bs = state.get("model_state", {}).get("batch_stats", {})
         mutable = ["codebook"]
@@ -252,8 +258,9 @@ class EmbVQGANTrainer(VQGANTrainer):
             fake = diffable["fake"]
 
             def d_loss_fn(pd):
+                pd = cast_floats(pd, self.compute_dtype)
                 fs, _ = self.disc.apply({"params": pd}, jax.lax.stop_gradient(fake))
-                rs, _ = self.disc.apply({"params": pd}, target)
+                rs, _ = self.disc.apply({"params": pd}, cast_floats(target, self.compute_dtype))
                 real_l, fake_l = lsgan_d_loss(rs, fs)
                 return real_l + fake_l, (real_l, fake_l)
 
@@ -306,8 +313,9 @@ class EmbVQGANTrainer(VQGANTrainer):
                 m["g_prosody_loss"] = pl
                 g = g - 0.01 * pl  # generator maximizes estimator error
             if gan:
-                fs, ff = self.disc.apply({"params": new_d_params}, dif["fake"])
-                rs, rf = self.disc.apply({"params": new_d_params}, target)
+                pd = cast_floats(new_d_params, self.compute_dtype)
+                fs, ff = self.disc.apply({"params": pd}, dif["fake"])
+                rs, rf = self.disc.apply({"params": pd}, cast_floats(target, self.compute_dtype))
                 adv = lsgan_g_loss(fs)
                 fm = feature_matching_loss(ff, rf)
                 lam = (
@@ -393,6 +401,7 @@ class NASynEmbFSTrainer(BaseTrainer):
             optimizer_config_for(config, "predictor"),
             config.get("lr_scheduler"),
             grad_clip_thresh,
+            freeze_patterns=config.get("freeze"),
         )
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 

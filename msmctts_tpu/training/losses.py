@@ -96,19 +96,26 @@ def multi_resolution_stft_loss(
 
 
 def lsgan_d_loss(real_scores, fake_scores):
-    """Sum over discriminators of MSE-to-1 (real) + MSE-to-0 (fake)."""
-    real = sum(jnp.mean(jnp.square(s - 1.0)) for s in real_scores)
-    fake = sum(jnp.mean(jnp.square(s)) for s in fake_scores)
+    """Sum over discriminators of MSE-to-1 (real) + MSE-to-0 (fake);
+    float32 regardless of activation dtype."""
+    real = sum(
+        jnp.mean(jnp.square(s.astype(jnp.float32) - 1.0)) for s in real_scores
+    )
+    fake = sum(jnp.mean(jnp.square(s.astype(jnp.float32))) for s in fake_scores)
     return real, fake
 
 
 def lsgan_g_loss(fake_scores):
-    return sum(jnp.mean(jnp.square(s - 1.0)) for s in fake_scores)
+    return sum(
+        jnp.mean(jnp.square(s.astype(jnp.float32) - 1.0)) for s in fake_scores
+    )
 
 
 def feature_matching_loss(fake_feats, real_feats):
     total = jnp.zeros((), jnp.float32)
     for ff, rf in zip(fake_feats, real_feats):
         for f, r in zip(ff, rf):
-            total = total + jnp.mean(jnp.abs(f - r))
+            total = total + jnp.mean(
+                jnp.abs(f.astype(jnp.float32) - r.astype(jnp.float32))
+            )
     return total

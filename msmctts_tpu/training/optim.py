@@ -40,12 +40,18 @@ def make_lr_schedule(base_lr: float, cfg: Optional[dict]):
     return schedule
 
 
-def build_optimizer(opt_cfg: dict, lr_cfg: Optional[dict], grad_clip: Optional[float] = None):
+def build_optimizer(
+    opt_cfg: dict,
+    lr_cfg: Optional[dict],
+    grad_clip: Optional[float] = None,
+    freeze_patterns=None,
+):
     """One optax transform from an ``optimizer.<module>`` config node.
 
     Supported ``_name``: Adam, AdamW, RAdam (optimizers/__init__.py:8-21).
     ``grad_clip`` prepends global-norm clipping (the reference clips
-    per-module before step, msmctts_trainer.py:205-206).
+    per-module before step, msmctts_trainer.py:205-206);
+    ``freeze_patterns`` appends zero-updates for regex-matched params.
     """
     name = opt_cfg.get("_name", "Adam")
     lr = float(opt_cfg.get("learning_rate", 2e-4))
@@ -69,6 +75,21 @@ def build_optimizer(opt_cfg: dict, lr_cfg: Optional[dict], grad_clip: Optional[f
 
     if grad_clip is not None and grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(float(grad_clip)), tx)
+    if freeze_patterns:
+        # reference ``config.freeze`` regex freezing (base_trainer.py:25-28):
+        # matched parameters receive zero updates.
+        def frozen_mask(params):
+            import flax
+
+            regexes = [re.compile(p) for p in freeze_patterns]
+            flat = flax.traverse_util.flatten_dict(params)
+            mask = {
+                path: any(r.search("/".join(map(str, path))) for r in regexes)
+                for path in flat
+            }
+            return flax.traverse_util.unflatten_dict(mask)
+
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen_mask))
     return tx
 
 

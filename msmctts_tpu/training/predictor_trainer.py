@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from msmctts_tpu.parallel.precision import cast_floats, compute_dtype
 from msmctts_tpu.registry import register_trainer
 from msmctts_tpu.tasks import load_frozen_autoencoder
 from msmctts_tpu.training.base_trainer import BaseTrainer
@@ -48,14 +49,21 @@ class PredictorTrainer(BaseTrainer):
         self.lambda_dur = lambda_dur
         self.predictor = task.networks["predictor"]
 
+        self.compute_dtype = compute_dtype(config)
         node = config.task["autoencoder"]
         self.ae, self.ae_variables, _ = load_frozen_autoencoder(
             node["_checkpoint"], node.get("_config")
         )
+        # frozen teacher runs in the compute dtype (codebook stays fp32)
+        self.ae_variables = dict(
+            self.ae_variables,
+            params=cast_floats(self.ae_variables["params"], self.compute_dtype),
+        )
 
         lr_cfg = config.get("lr_scheduler")
         self.tx = build_optimizer(
-            optimizer_config_for(config, "predictor"), lr_cfg, grad_clip_thresh
+            optimizer_config_for(config, "predictor"), lr_cfg, grad_clip_thresh,
+            freeze_patterns=config.get("freeze"),
         )
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 
@@ -90,7 +98,8 @@ class PredictorTrainer(BaseTrainer):
 
     def _step_impl(self, state, batch, step):
         rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
-        mel, mel_length = batch["mel"], batch["mel_length"]
+        mel = cast_floats(batch["mel"], self.compute_dtype)
+        mel_length = batch["mel_length"]
         text, text_length = batch["text"], batch["text_length"]
         dur = batch["dur"]
 
@@ -103,6 +112,7 @@ class PredictorTrainer(BaseTrainer):
         feat_length = q["quantizer_lengths"]
 
         def loss_fn(params):
+            params = cast_floats(params, self.compute_dtype)
             out = self.predictor.apply(
                 {"params": params},
                 text,

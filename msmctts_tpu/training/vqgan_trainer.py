@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from msmctts_tpu.parallel.precision import cast_floats, compute_dtype
 from msmctts_tpu.registry import register_trainer
 from msmctts_tpu.training.base_trainer import BaseTrainer
 from msmctts_tpu.training.losses import (
@@ -87,11 +88,14 @@ class VQGANTrainer(BaseTrainer):
         self.stft_loss_config = dict(stft_loss_config or {})
         self.samplerate = ds["samplerate"]
 
+        self.compute_dtype = compute_dtype(config)
         self.ae = task.networks["autoencoder"]
         self.disc = task.networks["discriminator"]
         lr_cfg = config.get("lr_scheduler")
+        freeze = config.get("freeze")
         self.ae_tx = build_optimizer(
-            optimizer_config_for(config, "autoencoder"), lr_cfg, grad_clip_thresh
+            optimizer_config_for(config, "autoencoder"), lr_cfg, grad_clip_thresh,
+            freeze_patterns=freeze,
         )
         self.d_tx = build_optimizer(
             optimizer_config_for(config, "discriminator"), lr_cfg, None
@@ -166,11 +170,17 @@ class VQGANTrainer(BaseTrainer):
         return multi_resolution_stft_loss(fake, target, **self.stft_loss_config)
 
     def _ae_diffable(self, params, codebook, mel, mel_length, rng, warmup, windows):
-        """AE forward returning (differentiable outputs, aux)."""
+        """AE forward returning (differentiable outputs, aux).
+
+        Under bf16 the params/inputs are cast HERE, inside the function the
+        vjp closes over, so the cast's transpose accumulates float32 grads
+        for the float32 master params."""
         kwargs = dict(warmup=warmup, deterministic=False)
         if windows is not None:
             kwargs["window_starts"] = windows
             kwargs["window_frames"] = self.frame_lengths
+        params = cast_floats(params, self.compute_dtype)
+        mel = cast_floats(mel, self.compute_dtype)
         out, mut = self.ae.apply(
             {"params": params, "codebook": codebook},
             mel,
@@ -275,10 +285,13 @@ class VQGANTrainer(BaseTrainer):
         diffable, ae_vjp, aux = jax.vjp(fwd, state["params"]["autoencoder"], has_aux=True)
         fake = diffable["fake"]
 
+        target_c = cast_floats(target, self.compute_dtype)
+
         # --- discriminator update on (stop_grad(fake), real) ---
         def d_loss_fn(pd):
+            pd = cast_floats(pd, self.compute_dtype)
             fs, _ = self.disc.apply({"params": pd}, jax.lax.stop_gradient(fake))
-            rs, _ = self.disc.apply({"params": pd}, target)
+            rs, _ = self.disc.apply({"params": pd}, target_c)
             real_l, fake_l = lsgan_d_loss(rs, fs)
             return real_l + fake_l, (real_l, fake_l)
 
@@ -302,8 +315,9 @@ class VQGANTrainer(BaseTrainer):
             metrics["stft_loss"] = stft_sum
             g = g + self.lambda_stft * stft_sum
 
-            fs, ff = self.disc.apply({"params": new_d_params}, dif["fake"])
-            rs, rf = self.disc.apply({"params": new_d_params}, target)
+            pd = cast_floats(new_d_params, self.compute_dtype)
+            fs, ff = self.disc.apply({"params": pd}, dif["fake"])
+            rs, rf = self.disc.apply({"params": pd}, target_c)
             adv = lsgan_g_loss(fs)
             fm = feature_matching_loss(ff, rf)
             lam = (

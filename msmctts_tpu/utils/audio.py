@@ -115,6 +115,105 @@ def spectrogram(wav: np.ndarray, cfg: AudioConfig) -> np.ndarray:
     return _normalize(S, cfg).T.astype(np.float32)
 
 
+def griffin_lim(S: np.ndarray, cfg: AudioConfig, n_iters: int = 60, power: float = 1.5) -> np.ndarray:
+    """Waveform from a normalized linear spectrogram via Griffin-Lim
+    (reference utils/audio.py:429-528 conv-STFT inverse + the recipe's
+    ``griffin_lim_iters=60``, ``power=1.5`` hparams). ``S`` is [T, F]
+    normalized dB as produced by ``spectrogram``."""
+    D = _db_to_amp(denormalize(S.T, cfg) + cfg.ref_level_db) ** power
+    n_fft, hop, win = cfg.n_fft, cfg.hop_length, cfg.win_length
+
+    angles = np.exp(2j * np.pi * np.random.RandomState(0).rand(*D.shape))
+    complex_spec = D.astype(np.complex128) * angles
+    y = _istft_np(complex_spec, n_fft, hop, win)
+    for _ in range(n_iters):
+        angles = np.exp(1j * np.angle(stft_np(y, n_fft, hop, win)[:, : D.shape[1]]))
+        if angles.shape != D.shape:
+            angles = np.pad(
+                angles, ((0, 0), (0, D.shape[1] - angles.shape[1])), mode="edge"
+            )
+        y = _istft_np(D * angles, n_fft, hop, win)
+    return inv_preemphasis(y, cfg.preemphasis).astype(np.float32)
+
+
+def _istft_np(D: np.ndarray, n_fft: int, hop: int, win: int) -> np.ndarray:
+    """Overlap-add inverse STFT with window-sumsquare correction
+    (reference ``STFT.inverse``, utils/audio.py:487-520)."""
+    window = hann_window(win)
+    if win < n_fft:
+        lpad = (n_fft - win) // 2
+        window = np.pad(window, (lpad, n_fft - win - lpad))
+    frames = np.fft.irfft(D.T, n=n_fft, axis=-1)  # [n_frames, n_fft]
+    n_frames = frames.shape[0]
+    T = n_fft + hop * (n_frames - 1)
+    y = np.zeros(T)
+    wsum = np.zeros(T)
+    for i in range(n_frames):
+        y[i * hop : i * hop + n_fft] += frames[i] * window
+        wsum[i * hop : i * hop + n_fft] += window**2
+    y[wsum > 1e-10] /= wsum[wsum > 1e-10]
+    return y[n_fft // 2 : -(n_fft // 2)] if T > n_fft else y
+
+
+def mulaw_encode(x: np.ndarray, mu: int = 255) -> np.ndarray:
+    """mu-law companding to integer codes (reference utils/audio.py:17-22)."""
+    x = np.clip(x, -1.0, 1.0)
+    fx = np.sign(x) * np.log1p(mu * np.abs(x)) / np.log1p(mu)
+    return ((fx + 1) / 2 * mu + 0.5).astype(np.int64)
+
+
+def mulaw_decode(y: np.ndarray, mu: int = 255) -> np.ndarray:
+    """Inverse mu-law (utils/audio.py:25-27)."""
+    fx = 2 * y.astype(np.float64) / mu - 1
+    return (np.sign(fx) / mu * ((1 + mu) ** np.abs(fx) - 1)).astype(np.float32)
+
+
+def biquad_lowpass(cutoff_hz: float, sample_rate: int, q: float = 0.707):
+    """Biquad low-pass coefficients (b, a) (reference lowpass_biquad,
+    utils/audio.py:150-176); apply with scipy.signal.lfilter."""
+    w0 = 2 * np.pi * cutoff_hz / sample_rate
+    alpha = np.sin(w0) / (2 * q)
+    cos_w0 = np.cos(w0)
+    b = np.array([(1 - cos_w0) / 2, 1 - cos_w0, (1 - cos_w0) / 2])
+    a = np.array([1 + alpha, -2 * cos_w0, 1 - alpha])
+    return b / a[0], a / a[0]
+
+
+def biquad_highpass(cutoff_hz: float, sample_rate: int, q: float = 0.707):
+    """Biquad high-pass coefficients (utils/audio.py:179-205)."""
+    w0 = 2 * np.pi * cutoff_hz / sample_rate
+    alpha = np.sin(w0) / (2 * q)
+    cos_w0 = np.cos(w0)
+    b = np.array([(1 + cos_w0) / 2, -(1 + cos_w0), (1 + cos_w0) / 2])
+    a = np.array([1 + alpha, -2 * cos_w0, 1 - alpha])
+    return b / a[0], a / a[0]
+
+
+def lf0_to_sine(
+    lf0: np.ndarray,
+    frameshift: int,
+    sample_rate: int,
+    sine_amp: float = 0.1,
+    noise_std: float = 0.003,
+    voiced_threshold: float = 0.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Frame-level log-F0 -> sample-level sine excitation with noise in
+    unvoiced regions (reference SignalGenerator/SineGen,
+    utils/audio.py:531-622; used by source-filter vocoder variants).
+    ``lf0`` frames <= ``voiced_threshold`` are unvoiced."""
+    f0 = np.where(lf0 > voiced_threshold, np.exp(lf0), 0.0)
+    f0_samples = np.repeat(f0, frameshift)
+    voiced = f0_samples > 0
+    phase = 2 * np.pi * np.cumsum(f0_samples / sample_rate)
+    sine = sine_amp * np.sin(phase) * voiced
+    rng_np = np.random.RandomState(seed)
+    noise = rng_np.randn(len(f0_samples)) * (
+        noise_std * voiced + (sine_amp / 3.0) * (~voiced)
+    )
+    return (sine + noise).astype(np.float32)
+
+
 def mcd(mel_a: np.ndarray, mel_b: np.ndarray) -> float:
     """Mel-cepstral-distortion-style distance between two [T, M] log-mel
     sequences (frames aligned, dB domain), used by the benchmark parity

@@ -25,6 +25,8 @@ def main():
     parser.add_argument("--max-steps", type=int, default=None,
                         help="stop after N steps (debug)")
     parser.add_argument("--log-every", type=int, default=50)
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of a few steps")
     parser.add_argument("--coordinator", default=None,
                         help="host:port for multi-host jax.distributed init")
     parser.add_argument("--num-processes", type=int, default=None)
@@ -46,7 +48,11 @@ def main():
 
     name = config.trainer["_name"]
     trainer = get_trainer(name)(config, task, **component_kwargs(config.trainer))
-    trainer.train(max_steps=args.max_steps, log_every=args.log_every)
+    trainer.train(
+        max_steps=args.max_steps,
+        log_every=args.log_every,
+        profile_dir=args.profile,
+    )
 
 
 if __name__ == "__main__":
