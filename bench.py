@@ -37,7 +37,7 @@ def main():
     ae = MSMCVQGAN(**component_kwargs(ae_node))
     predictor = MultiStagePredictor(**component_kwargs(am_node))
 
-    B, Lt, T = 8, 128, 512  # 8 utterances x 6.4 s each
+    B, Lt, T = 16, 128, 512  # 16 utterances x 6.4 s each
     rng = np.random.default_rng(0)
     text = jnp.asarray(rng.integers(1, 90, size=(B, Lt, 3)).astype(np.int32))
     text_length = jnp.full((B,), Lt, jnp.int32)
@@ -82,12 +82,18 @@ def main():
     wav.block_until_ready()
     assert wav.shape == (B, T * FRAMESHIFT, 1), wav.shape
 
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        tts(pvars, avars, text, text_length, dur, codebooks).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    wall = float(np.median(times))
+    # distinct inputs per run so no layer of the stack can cache results
+    n_runs = 8
+    texts = [
+        jnp.asarray(rng.integers(1, 90, size=(B, Lt, 3)).astype(np.int32))
+        for _ in range(n_runs)
+    ]
+    jax.block_until_ready(texts)
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        wav = tts(pvars, avars, texts[i], text_length, dur, codebooks)
+    wav.block_until_ready()
+    wall = (time.perf_counter() - t0) / n_runs
     audio_seconds = B * T * FRAMESHIFT / SAMPLE_RATE
     rtf = audio_seconds / wall
     print(

@@ -63,6 +63,31 @@ class ResStack(nn.Module):
         return output * mask
 
 
+class Encoder(nn.Module):
+    """pre-1x1 -> ResStack -> 1x1 projection (reference
+    vqgantts/modules.py:262-289; unused by the v2 path but part of the
+    module surface)."""
+
+    in_channels: int
+    out_channels: int
+    hidden_channels: int
+    kernel_size: int = 5
+    dilation_rate: int = 1
+    n_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        h = nn.Dense(self.hidden_channels, name="pre")(x) * mask
+        h = ResStack(
+            hidden_channels=self.hidden_channels,
+            kernel_size=self.kernel_size,
+            dilation_rate=self.dilation_rate,
+            n_layers=self.n_layers,
+            name="enc",
+        )(h, mask, deterministic=deterministic)
+        return nn.Dense(self.out_channels, name="proj")(h) * mask
+
+
 class PriorPredictor(nn.Module):
     """ResStack + 1x1 projection predicting the next stage's
     pre-quantization embedding from the running residual

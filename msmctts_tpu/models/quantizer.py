@@ -155,6 +155,23 @@ class EMAQuantizer(nn.Module):
         quant = _lookup(indices, jnp.swapaxes(embed.value, 1, 2))
         return quant.reshape(B, T, D).astype(x.dtype), indices
 
+    def sample(self, rng, batch_shape):
+        """Draw codewords from the EMA cluster-size prior
+        (reference Quantize.sample, modules.py:72-84): per head, indices ~
+        Categorical(cluster_size / sum) and their embeddings."""
+        embed, cluster_size, _ = self._variables()
+        H, d, K = embed.value.shape
+        logits = jnp.log(jnp.maximum(cluster_size.value, self.eps))  # [H, K]
+        keys = jax.random.split(rng, H)
+        idx = jnp.stack(
+            [
+                jax.random.categorical(keys[h], logits[h], shape=batch_shape)
+                for h in range(H)
+            ],
+            axis=-1,
+        )  # [..., H]
+        return idx, lookup_codes(idx, embed.value)
+
     def compute_triple_loss(self, pred, target_indices, reduction: str = "mean", margin: float = 1e-6):
         """Triplet loss against the codebook (modules.py:86-116), averaged
         over heads: pos = per-frame squared error to the target codeword;

@@ -155,6 +155,9 @@ class FFTBlocks(nn.Module):
     attn_dropout: float = 0.1
     fused_layernorm: bool = False  # XLA fuses LN; kept for config parity
     name_tag: str = ""
+    capture_acts: bool = False  # sow per-layer activations (reference
+    # 'acts' dict, transformer.py:131-144); read back via
+    # apply(..., mutable=['intermediates'])
 
     @nn.compact
     def __call__(self, x, pos, deterministic: bool = True):
@@ -166,7 +169,7 @@ class FFTBlocks(nn.Module):
 
         key_pad = pos == 0
         non_pad = (pos != 0)[..., None].astype(x.dtype)
-        for _ in range(self.n_layers):
+        for i in range(self.n_layers):
             x = FFTBlock(
                 d_model=self.d_model,
                 d_inner=self.d_inner,
@@ -177,6 +180,8 @@ class FFTBlocks(nn.Module):
                 dropout=self.dropout,
                 attn_dropout=self.attn_dropout,
             )(x, key_pad, non_pad, deterministic)
+            if self.capture_acts:
+                self.sow("intermediates", f"layer_{i}", x)
         return x, non_pad
 
 

@@ -75,6 +75,33 @@ def mel_loss(pred_wav, target_wav, sample_rate, fft_size=None, hop_size=None, wi
     return jnp.mean(jnp.abs(p - t))
 
 
+def stft_loss(
+    pred_wav,
+    target_wav,
+    fft_size: int = 1024,
+    win_size: int = 600,
+    hop_size: int = 120,
+    mel_scale: bool = False,
+    sample_rate: int = 24000,
+    num_mels: int = 80,
+):
+    """Single-resolution STFT loss: spectral convergence + log-magnitude
+    L1, with an optional mel warp (reference STFTLoss,
+    criterions/stft_loss.py:119-143). Returns {sc_loss, mag_loss}."""
+    p = stft_magnitude(pred_wav, fft_size, hop_size, win_size)
+    t = stft_magnitude(target_wav, fft_size, hop_size, win_size)
+    if mel_scale:
+        from msmctts_tpu.ops.stft import mel_filterbank
+
+        fb = jnp.asarray(mel_filterbank(sample_rate, fft_size, num_mels))
+        p = jnp.einsum("mf,bft->bmt", fb, p)
+        t = jnp.einsum("mf,bft->bmt", fb, t)
+    sc = jnp.linalg.norm(t - p) / jnp.maximum(jnp.linalg.norm(t), 1e-8)
+    logp = jnp.log(jnp.clip(p, 1e-5, 10.0))
+    logt = jnp.log(jnp.clip(t, 1e-5, 10.0))
+    return {"sc_loss": sc, "mag_loss": jnp.mean(jnp.abs(logp - logt))}
+
+
 def multi_resolution_stft_loss(
     pred_wav,
     target_wav,
