@@ -224,7 +224,9 @@ class BaseDataset:
         return path
 
     def parse_file(self, path, dimension=None):
-        ext = os.path.splitext(path.split(":")[0] if ":" in path else path)[-1]
+        # 'archive.zip:member.npy' paths take the member's extension
+        name = path.split(":", 1)[1] if (":" in path and not os.path.isfile(path)) else path
+        ext = os.path.splitext(name)[-1]
         src = self._open_maybe_zip(path)
         if ext == ".npy":
             if isinstance(src, str):

@@ -169,6 +169,13 @@ class BaseTrainer:
         path = os.path.join(self.save_dir, f"model_{self.iteration}")
         cfg = self.config.to_dict() if hasattr(self.config, "to_dict") else dict(self.config)
         save_checkpoint(path, self.state, self.iteration, cfg)
+        # opt-in GC: keep every-N snapshots (reference utils.py:260-270,
+        # effectively disabled there; enabled here via config)
+        keep = self.config.get("checkpoint_keep_interval")
+        if keep:
+            from msmctts_tpu.utils.checkpoint import clean_checkpoint_directory
+
+            clean_checkpoint_directory(self.save_dir, int(keep))
 
     # ------------------------------------------------------------------ loop
     def train(
