@@ -113,6 +113,7 @@ class MultiStageQuantizer(nn.Module):
     upsampling: str = "repeat"
     dropout: float = 0.1
     update_codebook: bool = True
+    restart_dead: float = 0.0  # dead-codeword restart threshold (see EMAQuantizer)
 
     def setup(self):
         if self.upsampling != "repeat":
@@ -148,6 +149,7 @@ class MultiStageQuantizer(nn.Module):
                     embed_dim=emb_dim,
                     n_embed=self._sizes[i],
                     n_head=self.n_heads,
+                    restart_dead=self.restart_dead,
                     name=f"vq_{i}",
                 )
             )

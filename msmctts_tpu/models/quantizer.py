@@ -75,6 +75,11 @@ class EMAQuantizer(nn.Module):
     n_head: int = 1
     decay: float = 0.99
     eps: float = 1e-5
+    # > 0 enables dead-codeword restarts: codewords whose EMA cluster size
+    # falls below this threshold are re-seeded from random batch vectors.
+    # The reference has no such mechanism (codebooks can collapse early);
+    # default off preserves its exact training semantics.
+    restart_dead: float = 0.0
 
     def setup(self):
         assert self.embed_dim % self.n_head == 0
@@ -131,9 +136,26 @@ class EMAQuantizer(nn.Module):
             new_ea = embed_avg.value * self.decay + (1.0 - self.decay) * embed_sum
             n = jnp.sum(new_cs, axis=-1, keepdims=True)  # [H, 1]
             smoothed = (new_cs + self.eps) / (n + K * self.eps) * n  # [H, K]
+            new_embed = new_ea / smoothed[:, None, :]
+
+            if self.restart_dead > 0:
+                # re-seed dead codewords from random batch rows
+                rkey = self.make_rng("dropout")
+                ridx = jax.random.randint(rkey, (H, K), 0, B * T)  # [H, K]
+                flat = xf.reshape(B * T, H, d)
+                # seeds[h, k] = flat[ridx[h, k], h]
+                seeds = jax.vmap(
+                    lambda idx_h, h: flat[idx_h, h, :], in_axes=(0, 0)
+                )(ridx, jnp.arange(H))  # [H, K, d]
+                seeds = jnp.swapaxes(seeds, 1, 2)  # [H, d, K]
+                dead = (new_cs < self.restart_dead)[:, None, :]  # [H, 1, K]
+                new_embed = jnp.where(dead, seeds, new_embed)
+                new_ea = jnp.where(dead, seeds, new_ea)
+                new_cs = jnp.where(dead[:, 0, :], 1.0, new_cs)
+
             cluster_size.value = new_cs
             embed_avg.value = new_ea
-            embed.value = new_ea / smoothed[:, None, :]
+            embed.value = new_embed
 
         quant = quant.reshape(B, T, D)
         # commitment diff in float32 even under bf16 activations

@@ -127,6 +127,11 @@ class BaseTrainer:
         """Returns (new_state, metrics dict of scalars)."""
         raise NotImplementedError
 
+    def evaluate(self, batch, logger, iteration):
+        """Periodic qualitative eval (audio/image summaries). The reference
+        threads an ``eval_inteval_iters`` knob through every trainer but
+        never uses it (msmctts_trainer.py:78); here it drives this hook."""
+
     # ----------------------------------------------------------- checkpoints
     def attempt_resume(self, rng, sample_batch):
         """Reference resume ladder (base_trainer.py:104-119)."""
@@ -249,6 +254,13 @@ class BaseTrainer:
                     + " ".join(f"{k}={v:.4f}" for k, v in host.items())
                 )
                 t0 = time.time()
+
+            eval_every = getattr(self, "eval_interval", 0)
+            if eval_every and self.iteration % eval_every == 0:
+                try:
+                    self.evaluate(batch, logger, self.iteration)
+                except Exception as e:  # eval must never kill training
+                    logger.text(f"evaluate() failed at {self.iteration}: {e}")
 
             if self.iteration % self.iters_per_checkpoint == 0:
                 self.save()

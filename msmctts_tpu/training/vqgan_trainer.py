@@ -100,8 +100,10 @@ class VQGANTrainer(BaseTrainer):
         self.d_tx = build_optimizer(
             optimizer_config_for(config, "discriminator"), lr_cfg, None
         )
+        self.eval_interval = int(eval_inteval_iters or 0)
         self._warmup_step = jax.jit(self._warmup_step_impl, donate_argnums=(0,))
         self._gan_step = jax.jit(self._gan_step_impl, donate_argnums=(0,))
+        self._eval_fn = None
 
     # ----------------------------------------------------------------- state
     def init_state(self, rng, batch):
@@ -205,9 +207,23 @@ class VQGANTrainer(BaseTrainer):
         }
         return diffable, aux
 
+    def _codebook_health(self, codebook):
+        """Per-stage codeword usage perplexity from the EMA cluster sizes —
+        the in-training equivalent of the reference's offline
+        vq_analysis.py entropy diagnostic."""
+        metrics = {}
+        for stage, node in codebook.get("quantizer", {}).items():
+            cs = node.get("cluster_size")
+            if cs is None:
+                continue
+            p = cs / jnp.maximum(jnp.sum(cs, axis=-1, keepdims=True), 1e-9)
+            entropy = -jnp.sum(jnp.where(p > 0, p * jnp.log(p), 0.0), axis=-1)
+            metrics[f"codebook_perplexity_{stage}"] = jnp.mean(jnp.exp(entropy))
+        return metrics
+
     def _base_g_loss(self, diffable, aux, mel, mel_length):
         """VQ + prior + frame losses shared by both phases."""
-        metrics = {}
+        metrics = self._codebook_health(aux["codebook"])
         prior = {"total_loss": diffable["prior_loss"]} if "prior_loss" in diffable else None
         vq, vq_metrics = quantizer_loss(
             diffable["encoder_diffs"],
@@ -353,6 +369,37 @@ class VQGANTrainer(BaseTrainer):
         return new_state, self._pack_metrics("gan", metrics)
 
     # ------------------------------------------------------------------ api
+    def evaluate(self, batch, logger, iteration):
+        """Analysis-synthesis of the first batch utterance: waveform +
+        predicted-mel heatmap to tensorboard (recipe check #1 online)."""
+        import numpy as np
+
+        if logger.writer is None:
+            return
+        if self._eval_fn is None:
+            def _eval(params, codebook, mel, mel_length):
+                out = self.ae.apply(
+                    {"params": params, "codebook": codebook},
+                    mel,
+                    mel_length,
+                    deterministic=True,
+                )
+                return out["decoder_outputs"], out.get("mel_outputs")
+            self._eval_fn = jax.jit(_eval)
+
+        mel = jnp.asarray(batch["mel"][:1])
+        length = jnp.asarray(batch["mel_length"][:1])
+        wav, pred_mel = self._eval_fn(
+            self.state["params"]["autoencoder"], self.state["codebook"], mel, length
+        )
+        wav = np.asarray(wav)[0, : int(length[0]) * (wav.shape[1] // mel.shape[1]), 0]
+        payload = {"audio": {"eval/wav": (wav, self.samplerate)}}
+        if pred_mel is not None:
+            m = np.asarray(pred_mel)[0, : int(length[0])].T  # [D, T]
+            m = (m - m.min()) / max(m.max() - m.min(), 1e-6)
+            payload["image"] = {"eval/pred_mel": m[..., None]}
+        logger.log(iteration, payload)
+
     def train_step(self, state, batch, iteration):
         import numpy as np
         step = np.uint32(iteration)

@@ -69,8 +69,21 @@ class Logger:
         if self.writer is not None:
             for name, img in payload.get("image", {}).items():
                 self.writer.add_image(name, np.asarray(img), iteration, dataformats="HWC")
-            for name, (wav, sr) in payload.get("audio", {}).items():
-                self.writer.add_audio(name, np.asarray(wav)[None, :], iteration, sample_rate=sr)
+        for name, (wav, sr) in payload.get("audio", {}).items():
+            try:
+                if self.writer is None:
+                    raise RuntimeError("no tensorboard writer")
+                self.writer.add_audio(
+                    name, np.asarray(wav)[None, :], iteration, sample_rate=sr
+                )
+            except Exception:
+                # tensorboardX audio needs soundfile; fall back to wav files
+                from msmctts_tpu.data.datasets import save_wav
+
+                out_dir = os.path.join(self.log_dir, "eval_audio")
+                os.makedirs(out_dir, exist_ok=True)
+                fname = name.replace("/", "_") + f"_{iteration}.wav"
+                save_wav(os.path.join(out_dir, fname), np.asarray(wav), sr)
 
     def close(self):
         if self.writer is not None:

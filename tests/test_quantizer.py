@@ -135,6 +135,54 @@ def test_triple_loss_self_mask(rng):
     assert float(np.asarray(loss).max()) < 1e-3
 
 
+def test_dead_codeword_restart(rng):
+    """With restart_dead > 0, codewords whose EMA count stays below the
+    threshold are re-seeded from batch rows (extension over the reference,
+    which lets codebooks collapse)."""
+    import jax
+
+    D, K = 4, 8
+    q = EMAQuantizer(embed_dim=D, n_embed=K, n_head=1, restart_dead=0.5)
+    x0 = jnp.zeros((2, 6, D))
+    variables = q.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x0,
+        update=False,
+    )
+    # all inputs near one point -> one codeword used, others dead
+    x = jnp.asarray(100.0 + 0.01 * rng.normal(size=(2, 6, D)).astype(np.float32))
+    (_, _, idx), mut = q.apply(
+        variables,
+        x,
+        mutable=["codebook"],
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    embed = np.asarray(mut["codebook"]["embed"])[0]  # [d, K]
+    cs = np.asarray(mut["codebook"]["cluster_size"])[0]
+    used = np.unique(np.asarray(idx))
+    dead = [k for k in range(K) if k not in used]
+    # dead codewords were re-seeded near the batch (values ~100), counts 1
+    for k in dead:
+        assert abs(embed[:, k].mean() - 100.0) < 1.0
+        assert cs[k] == 1.0
+
+
+def test_restart_disabled_by_default(rng):
+    q, variables = make_quantizer(D=4, K=8, H=1)
+    x = jnp.asarray(100.0 + 0.01 * rng.normal(size=(2, 6, 4)).astype(np.float32))
+    (_, _, idx), mut = q.apply(variables, x, mutable=["codebook"])
+    embed = np.asarray(mut["codebook"]["embed"])[0]
+    cs = np.asarray(mut["codebook"]["cluster_size"])[0]
+    used = np.unique(np.asarray(idx))
+    dead = [k for k in range(8) if k not in used]
+    # reference semantics: no re-seeding — dead counts stay at their EMA
+    # value (0 here), embeds follow the Laplace-smoothed division, and
+    # nothing snaps to the batch's location with count exactly 1
+    for k in dead:
+        assert cs[k] == 0.0
+        assert not (abs(embed[:, k].mean() - 100.0) < 1.0 and cs[k] == 1.0)
+
+
 def test_lookup_roundtrip(rng):
     embed = rng.normal(size=(2, 4, 9)).astype(np.float32)
     idx = rng.integers(0, 9, size=(3, 5, 2))
