@@ -1,0 +1,222 @@
+"""Coverage for surface components: text frontend, DSP extras, checkpoint
+utilities, MSGenerator, legacy TTS task."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msmctts_tpu.utils.audio import (
+    AudioConfig,
+    biquad_highpass,
+    biquad_lowpass,
+    griffin_lim,
+    lf0_to_sine,
+    melspectrogram,
+    mulaw_decode,
+    mulaw_encode,
+    spectrogram,
+)
+from msmctts_tpu.utils.checkpoint import (
+    clean_checkpoint_directory,
+    filter_state_by_regex,
+    find_latest_checkpoint,
+    load_checkpoint,
+    merge_states,
+    save_checkpoint,
+)
+from msmctts_tpu.utils.text import SYMBOLS, encode_phone, encode_phone_string
+
+
+# ------------------------------------------------------------------ text
+def test_symbol_inventory():
+    assert len(SYMBOLS) == 66  # 3 unspoken + 63 spoken (reference symbols.py)
+    assert SYMBOLS[0] == "<PAD>"
+
+
+def test_encode_phone_rules():
+    assert encode_phone("sil") == (1, 0, 0)
+    # pinyin is initial/final split: tone rides the final
+    assert encode_phone("ang1") == (SYMBOLS.index("ang"), 1, 0)
+    assert encode_phone("zh") == (SYMBOLS.index("zh"), 0, 0)
+    # erhua: trailing r with valid base
+    sid, tone, er = encode_phone("uor3")
+    assert er == 1 and tone == 3 and SYMBOLS[sid] == "uo"
+    # 'er' itself is NOT erhua-split
+    assert encode_phone("er2") == (SYMBOLS.index("er"), 2, 0)
+    # sp symbols keep digits
+    assert encode_phone("sp1") == (SYMBOLS.index("sp1"), 0, 0)
+
+
+def test_encode_phone_string():
+    s = encode_phone_string(["sil", "b", "a1"])
+    parts = s.split(" ")
+    assert len(parts) == 3 and all(p.count("_") == 2 for p in parts)
+
+
+# ------------------------------------------------------------------- DSP
+def test_mulaw_roundtrip(rng):
+    x = (rng.uniform(-1, 1, size=1000)).astype(np.float32)
+    y = mulaw_encode(x)
+    assert y.min() >= 0 and y.max() <= 255
+    back = mulaw_decode(y)
+    # 8-bit mu-law worst-case error grows with |x|; bound ~ ln(1+mu)/mu
+    assert np.abs(back - x).max() < 0.05
+
+
+def test_biquads_attenuate(rng):
+    from scipy.signal import lfilter
+
+    sr = 1600
+    t = np.arange(sr) / sr
+    low = np.sin(2 * np.pi * 50 * t)
+    high = np.sin(2 * np.pi * 700 * t)
+    b, a = biquad_lowpass(200, sr)
+    assert np.std(lfilter(b, a, high)) < 0.3 * np.std(lfilter(b, a, low))
+    b, a = biquad_highpass(400, sr)
+    assert np.std(lfilter(b, a, low)) < 0.3 * np.std(lfilter(b, a, high))
+
+
+def test_lf0_to_sine():
+    lf0 = np.full(20, np.log(100.0), np.float32)
+    lf0[10:] = -1e9  # unvoiced
+    sig = lf0_to_sine(lf0, frameshift=4, sample_rate=1600)
+    assert sig.shape == (80,)
+    assert np.abs(sig[:40]).max() > 0.05  # voiced sine present
+    assert np.isfinite(sig).all()
+
+
+def test_griffin_lim_reconstructs_tone():
+    sr = 1600
+    cfg = AudioConfig(sample_rate=sr, num_freq=129, frame_length_ms=40,
+                      frame_shift_ms=10, num_mels=20)
+    t = np.arange(sr) / sr
+    wav = (0.5 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    S = spectrogram(wav, cfg)
+    rec = griffin_lim(S, cfg, n_iters=8)
+    # dominant frequency survives the round trip
+    spec = np.abs(np.fft.rfft(rec))
+    freq = np.fft.rfftfreq(len(rec), 1 / sr)
+    assert abs(freq[np.argmax(spec)] - 200) < 15
+
+
+# ------------------------------------------------------------ checkpoints
+def test_checkpoint_roundtrip_and_latest(tmp_path, rng):
+    d = str(tmp_path)
+    state = {"params": {"a": rng.normal(size=(3, 3)).astype(np.float32)}}
+    for it in (100, 250, 300):
+        save_checkpoint(os.path.join(d, f"model_{it}"), state, it, {"id": "x"})
+    latest = find_latest_checkpoint(d)
+    assert latest.endswith("model_300")
+    ckpt = load_checkpoint(latest)
+    assert ckpt["iteration"] == 300 and ckpt["config"]["id"] == "x"
+    np.testing.assert_array_equal(ckpt["state"]["params"]["a"], state["params"]["a"])
+
+
+def test_checkpoint_gc(tmp_path):
+    d = str(tmp_path)
+    for it in (50, 100, 150, 200, 250):
+        save_checkpoint(os.path.join(d, f"model_{it}"), {"x": np.zeros(1)}, it, {})
+    clean_checkpoint_directory(d, interval=100, keep_last=1)
+    left = sorted(os.listdir(d))
+    assert "model_100" in left and "model_200" in left and "model_250" in left
+    assert "model_50" not in left and "model_150" not in left
+
+
+def test_state_stitching(rng):
+    base = {
+        "params": {
+            "autoencoder": {"w": np.zeros((2, 2), np.float32)},
+            "predictor": {"w": np.zeros((2, 2), np.float32)},
+        }
+    }
+    donor = {
+        "params": {
+            "autoencoder": {"w": np.ones((2, 2), np.float32)},
+            "predictor": {"w": np.full((2, 2), 7.0, np.float32)},
+        }
+    }
+    subset = filter_state_by_regex(donor, r"params/autoencoder")
+    merged = merge_states(base, subset)
+    np.testing.assert_array_equal(merged["params"]["autoencoder"]["w"], 1.0)
+    np.testing.assert_array_equal(merged["params"]["predictor"]["w"], 0.0)
+
+
+# ------------------------------------------------------------ MSGenerator
+def test_msgenerator(rng):
+    from msmctts_tpu.models.hifigan import MSGenerator
+
+    g = MSGenerator(
+        resblock_kernel_sizes=[3],
+        resblock_dilation_sizes=[[1, 3]],
+        upsample_rates=[2, 2],
+        upsample_initial_channel=16,
+        upsample_kernel_sizes=[4, 4],
+        num_mels=8,
+        spk_dim=6,
+    )
+    x = jnp.asarray(rng.normal(size=(2, 10, 8)).astype(np.float32))
+    spk = jnp.asarray(rng.normal(size=(2, 6)).astype(np.float32))
+    v = g.init(jax.random.PRNGKey(0), x, spk)
+    out = g.apply(v, x, spk)
+    assert out.shape == (2, 40, 1)
+    # different speakers -> different audio
+    out2 = g.apply(v, x, spk + 1.0)
+    # HiFi-GAN init is normal(0.01): the speaker path exists but is faint
+    assert float(jnp.abs(out - out2).max()) > 0.0
+
+
+# ------------------------------------------------------- legacy TTS task
+def test_legacy_tts_task_with_vocoder(rng):
+    """acoustic model emitting mel + separate vocoder sub-network."""
+    from msmctts_tpu.config import Config
+    from msmctts_tpu.registry import register_network
+    from msmctts_tpu.tasks import build_task
+    import flax.linen as nn
+
+    if "IdentityAM" not in __import__("msmctts_tpu.registry", fromlist=["NETWORKS"]).NETWORKS:
+        @register_network("IdentityAM")
+        class IdentityAM(nn.Module):
+            @nn.compact
+            def __call__(self, mel, mel_length, deterministic=True):
+                return {"mel": nn.Dense(8)(mel), "mel_length": mel_length}
+
+    config = Config(
+        {
+            "task": {
+                "_name": "TTS",
+                "acoustic_model": {"_name": "IdentityAM"},
+                "vocoder": {
+                    "_name": "HifiGANGenerator",
+                    "num_mels": 8,
+                    "resblock_kernel_sizes": [3],
+                    "resblock_dilation_sizes": [[1, 3]],
+                    "upsample_rates": [2, 2],
+                    "upsample_initial_channel": 16,
+                    "upsample_kernel_sizes": [4, 4],
+                },
+            },
+            "dataset": {
+                "_name": "MelDataset",
+                "samplerate": 1600,
+                "feature": ["mel", "wav"],
+                "frameshift": [4, 1],
+                "dimension": [8, 1],
+                "id_list": None,
+            },
+        }
+    )
+    task = build_task(config, mode="infer")
+    mel = rng.normal(size=(2, 12, 8)).astype(np.float32)
+    am = task.networks["acoustic_model"]
+    task.variables["acoustic_model"] = am.init(
+        jax.random.PRNGKey(0), jnp.asarray(mel), jnp.asarray([12, 9])
+    )
+    voc = task.networks["vocoder"]
+    task.variables["vocoder"] = voc.init(jax.random.PRNGKey(1), jnp.asarray(mel))
+    out = task.infer_step({"mel": mel, "mel_length": np.array([12, 9])})
+    assert len(out["wav"]) == 2
+    assert out["wav"][0].shape[0] == 12 * 4
+    assert out["wav"][1].shape[0] == 9 * 4
