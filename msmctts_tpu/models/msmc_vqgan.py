@@ -116,10 +116,8 @@ class MultiStageQuantizer(nn.Module):
     restart_dead: float = 0.0  # dead-codeword restart threshold (see EMAQuantizer)
 
     def setup(self):
-        if self.upsampling != "repeat":
-            raise NotImplementedError(
-                f"upsampling='{self.upsampling}' not supported (recipes use 'repeat')"
-            )
+        if self.upsampling not in ("repeat", "mapping", "residual"):
+            raise ValueError(f"unknown upsampling '{self.upsampling}'")
         n_stage = len(self.upsample_scales)
         sizes = self.embedding_sizes
         dims = self.embedding_dims
@@ -163,6 +161,21 @@ class MultiStageQuantizer(nn.Module):
         self.pres = pres
         self.quants = quants
         self.posts = posts
+        if self.upsampling != "repeat":
+            # learned transposed-conv upsamplers (msmc_vqgan.py:138-144:
+            # k = 2u (even u) else 2u+1, pad (k-u)//2); torch-exact output
+            # lengths via WNConvTranspose1d's lhs-dilated formulation
+            from msmctts_tpu.ops.convs import WNConvTranspose1d
+
+            ups = []
+            for i, u in enumerate(self.upsample_scales):
+                k = u * 2 if u % 2 == 0 else u * 2 + 1
+                ups.append(
+                    WNConvTranspose1d(
+                        self.n_model_size, k, u, (k - u) // 2, name=f"up_{i}"
+                    )
+                )
+            self.ups = ups
         if self.norm:
             self.norms = [
                 nn.BatchNorm(
@@ -254,7 +267,16 @@ class MultiStageQuantizer(nn.Module):
                 )
             )
 
-            residual = repeat_upsample(residual, self.upsample_scales[i])
+            u = self.upsample_scales[i]
+            if self.upsampling == "repeat":
+                residual = repeat_upsample(residual, u)
+            elif self.upsampling == "mapping":
+                residual = self.ups[i](residual)
+            else:  # 'residual': repeat + dropout(transposed) (msmc_vqgan.py:207-212)
+                t = self.ups[i](residual)
+                residual = repeat_upsample(residual, u) + self._dropout(
+                    t, deterministic
+                )
 
         out = dict(
             residual_output=residual,

@@ -282,15 +282,22 @@ class VQGANTrainer(BaseTrainer):
         B = mel.shape[0]
         r_win, r_drop = jax.random.split(rng)
 
-        # Per-utterance random windows (msmctts_trainer.py:211-219):
-        # start in [0, max(1, len - frames)).
-        maxval = jnp.maximum(mel_length.astype(jnp.int32) - self.frame_lengths, 1)
-        starts = jax.random.randint(r_win, (B,), 0, maxval)
-        target = jax.vmap(
-            lambda w, s: jax.lax.dynamic_slice(
-                w, (s * self.frameshift,), (self.sample_lengths,)
+        if self.frame_lengths == -1:
+            # sample_lengths == -1: decode full utterances, no windowing
+            starts = None
+            target = wav
+        else:
+            # Per-utterance random windows (msmctts_trainer.py:211-219):
+            # start in [0, max(1, len - frames)).
+            maxval = jnp.maximum(
+                mel_length.astype(jnp.int32) - self.frame_lengths, 1
             )
-        )(wav, starts)
+            starts = jax.random.randint(r_win, (B,), 0, maxval)
+            target = jax.vmap(
+                lambda w, s: jax.lax.dynamic_slice(
+                    w, (s * self.frameshift,), (self.sample_lengths,)
+                )
+            )(wav, starts)
 
         # One AE forward; residuals saved for the generator backward.
         def fwd(params):
