@@ -19,10 +19,9 @@ slopes follow the reference (0.1 generator, 0.2 discriminators).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -22,7 +22,7 @@ reference HEAD — missing ``msmc_vqgan_speech`` superset module, SURVEY.md
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

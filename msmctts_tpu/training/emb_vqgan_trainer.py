@@ -21,8 +21,6 @@ prosody-D) updated before the generator cotangent is pulled back.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -484,7 +482,7 @@ class NASynEmbFSTrainer(BaseTrainer):
         new_params = optax.apply_updates(state["params"]["predictor"], upd)
         return (
             {"params": {"predictor": new_params}, "opt_state": {"predictor": new_opt}},
-            metrics,
+            self._pack_metrics("step", metrics),
         )
 
     def train_step(self, state, batch, iteration):

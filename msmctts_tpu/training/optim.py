@@ -99,20 +99,3 @@ def optimizer_config_for(config: dict, module_name: str) -> dict:
     opt = config.get("optimizer", {}) or {}
     node = opt.get(module_name, opt.get("_default", {"_name": "Adam"}))
     return dict(node)
-
-
-def freeze_mask(params, patterns):
-    """True (trainable) / False mask pytree from regex patterns matched
-    against '/'-joined param paths — the reference's ``config.freeze``
-    regex freezing (base_trainer.py:25-28) inverted to a trainability mask."""
-    import flax
-
-    if not patterns:
-        return None
-    regexes = [re.compile(p) for p in patterns]
-    flat = flax.traverse_util.flatten_dict(params)
-    mask = {
-        path: not any(r.search("/".join(map(str, path))) for r in regexes)
-        for path in flat
-    }
-    return flax.traverse_util.unflatten_dict(mask)

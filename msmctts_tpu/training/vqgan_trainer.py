@@ -29,7 +29,6 @@ msmctts_trainer.py:121-148); here that step runs the warmup graph instead.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -337,10 +337,19 @@ def write_tiny_emb_dataset(tmpdir: str, n_utts: int = 6, seed: int = 0):
     for sub in ("emb", "pitch", "energy", "mel", "wav"):
         os.makedirs(f"{tmpdir}/{sub}", exist_ok=True)
     ids = []
+    phone_lines, dur_lines = [], []
     for i in range(n_utts):
         uid = f"utt{i:03d}"
         ids.append(uid)
-        frames = int(rng.integers(12, 28))
+        n_phones = int(rng.integers(4, 8))
+        durs = rng.integers(2, 6, size=n_phones)
+        frames = int(durs.sum())
+        phones = rng.integers(1, 20, size=n_phones)
+        tones = rng.integers(0, 5, size=n_phones)
+        phone_lines.append(
+            uid + "|" + " ".join(f"{p}_{t}" for p, t in zip(phones, tones))
+        )
+        dur_lines.append(uid + "|" + " ".join(str(d) for d in durs))
         np.save(f"{tmpdir}/emb/{uid}.npy", rng.normal(size=(frames, 12)).astype(np.float32))
         np.save(f"{tmpdir}/pitch/{uid}.npy", rng.normal(size=(frames, 1)).astype(np.float32))
         np.save(f"{tmpdir}/energy/{uid}.npy", rng.normal(size=(frames, 1)).astype(np.float32))
@@ -352,6 +361,10 @@ def write_tiny_emb_dataset(tmpdir: str, n_utts: int = 6, seed: int = 0):
         )
     with open(f"{tmpdir}/train.list", "w") as f:
         f.write("\n".join(ids) + "\n")
+    with open(f"{tmpdir}/phone.txt", "w") as f:
+        f.write("\n".join(phone_lines) + "\n")
+    with open(f"{tmpdir}/dur.txt", "w") as f:
+        f.write("\n".join(dur_lines) + "\n")
     return ids
 
 
