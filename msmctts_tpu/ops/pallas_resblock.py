@@ -3,27 +3,31 @@
 One ResBlock1 dilation layer is ``x + conv_k1(lrelu(dconv_kd(lrelu(x))))``
 (hifigan/common.py:21-58) — in XLA this materializes two conv intermediates
 in HBM per layer, nine times per upsampling stage. This kernel computes the
-whole layer per time tile in VMEM:
+whole layer per time tile in VMEM and only the residual-added result
+returns to HBM.
 
-  * the input stays in HBM; each grid step DMAs one tile WITH ITS HALO
-    ((k-1)/2*(d+1) samples each side) into VMEM scratch — overlapping reads
-    that block-granular BlockSpecs cannot express,
-  * each conv is k shifted [T, C] x [C, C] matmuls (taps unrolled on the
-    MXU; channels ride the lane dimension),
-  * only the residual-added result returns to HBM.
+Mosaic-alignment design: overlapping halo tiles are DMA'd manually from
+HBM (block-granular BlockSpecs cannot express overlap), and every compute
+op stays FULL-BUFFER shaped so all shapes are (8, 128)-tile aligned:
 
-Weights are [k, C, C] (tap, in, out). At C <= 512, k <= 11 both convs'
-weights (2*11*512^2*4 = 23 MB) exceed VMEM, so C <= 256 is the supported
-envelope — exactly the HiFi-GAN stages after the first upsample.
+  * tap shifts are ``pltpu.roll`` on the whole [tin, C] buffer instead of
+    unaligned slices; each conv is then k full-size [tin, C] x [C, C] MXU
+    matmuls,
+  * rows polluted by roll wrap-around live strictly inside the halo
+    (first/last halo1 rows for conv1, halo rows for conv2) and are never
+    read by the final ALIGNED output slice at [HA, HA + tile),
+  * the halo HA is rounded up to a multiple of 8 so DMA slices and the
+    output slice are sublane-aligned.
 
-STATUS: experimental. Numerics are validated in interpret mode
-(tests/test_pallas_resblock.py); the Mosaic TPU compiler in this dev
-environment rejects the unaligned (tile + 2*halo)-row intermediate shapes
-(remote-compile 500) — aligning the halo regions to the (8, 128) tile
-grid is the known fix and is left for a future round. The default
-generator keeps XLA convs, which profile near the same throughput (the
-elementwise chain already fuses; only one conv intermediate per layer is
-saved).
+Weights are [k, C, C] (tap, in, out). Supported envelope: C a multiple of
+128 (lane width) and C <= 256 so both convs' weights (<= 2*11*256^2*4 =
+5.8 MB) stay comfortably in VMEM — the first two HiFi-GAN MRF stages.
+
+Optional acceleration path; the default generator keeps XLA convs. Parity
+vs the unfused XLA composition (incl. per-conv zero-padding semantics at
+sequence bounds) holds in interpret mode (tests/test_pallas_resblock.py)
+AND on real TPU hardware (max abs err <= 2e-6 at C=256/k=3 and
+C=128/k=11, fp32 HIGHEST-precision dots).
 """
 
 from __future__ import annotations
@@ -43,52 +47,64 @@ def _leaky(x):
     return jnp.where(x >= 0, x, LRELU_SLOPE * x)
 
 
-def _make_kernel(k: int, dilation: int, halo1: int, halo2: int, tile: int, T_true: int):
-    halo = halo1 + halo2
-    tin = tile + 2 * halo
+def _roll_rows(x, shift: int, interpret: bool):
+    """Circular row shift. pltpu.roll is TPU-only and requires a
+    non-negative shift (circularity makes shift mod rows equivalent);
+    interpret mode (and the zero-shift case) use jnp.roll."""
+    shift = shift % x.shape[0]
+    if shift == 0:
+        return x
+    if interpret:
+        return jnp.roll(x, shift, axis=0)
+    return pltpu.roll(x, shift, 0)
+
+
+def _make_kernel(k, dilation, halo1, halo2, ha, tile, T_true, interpret):
+    tin = tile + 2 * ha
 
     def kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, scratch, sem):
         b = pl.program_id(0)
         t = pl.program_id(1)
 
-        # overlapping halo tile: DMA from HBM (x is pre-padded by `halo`)
         dma = pltpu.make_async_copy(
             x_hbm.at[b, pl.ds(t * tile, tin), :], scratch, sem
         )
         dma.start()
         dma.wait()
         x = scratch[...]
-
         C = x.shape[-1]
+
         h = _leaky(x)
-        mid_len = tin - 2 * halo1
-        acc = jnp.zeros((mid_len, C), jnp.float32)
+        # conv1: full-buffer tap shifts; rows < halo1 or >= tin - halo1 wrap
+        acc = jnp.zeros((tin, C), jnp.float32)
         for j in range(k):
-            off = j * dilation
+            shifted = _roll_rows(h, halo1 - j * dilation, interpret)
             acc += jnp.dot(
-                h[off : off + mid_len], w1_ref[j],
+                shifted, w1_ref[j],
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
         mid = _leaky(acc + b1_ref[...].reshape(1, C))
-        # conv2 zero-pads its (post-activation) input at SEQUENCE bounds in
-        # the unfused composition; replicate by zeroing mid outside [0, T)
-        pos = t * tile + halo1 + jax.lax.broadcasted_iota(
-            jnp.int32, (mid_len, 1), 0
-        )
-        valid = (pos >= halo) & (pos < halo + T_true)
+
+        # zero mid outside the true sequence: the unfused composition
+        # zero-pads conv2's (post-activation) input at sequence bounds
+        pos = t * tile + jax.lax.broadcasted_iota(jnp.int32, (tin, 1), 0) - ha
+        valid = (pos >= 0) & (pos < T_true)
         mid = mid * valid.astype(mid.dtype)
 
-        out_len = mid_len - 2 * halo2
-        acc2 = jnp.zeros((out_len, C), jnp.float32)
+        # conv2 (dilation 1): wrap pollution reaches halo1 + halo2 <= ha rows
+        acc2 = jnp.zeros((tin, C), jnp.float32)
         for j in range(k):
+            shifted = _roll_rows(mid, halo2 - j, interpret)
             acc2 += jnp.dot(
-                mid[j : j + out_len], w2_ref[j],
+                shifted, w2_ref[j],
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
         y = acc2 + b2_ref[...].reshape(1, C)
 
-        center = halo
-        out_ref[...] = (x[center : center + out_len] + y).reshape(1, out_len, C)
+        # aligned output slice: [HA, HA + tile) never touches wrapped rows
+        out_ref[...] = (x[ha : ha + tile] + y[ha : ha + tile]).reshape(1, tile, C)
 
     return kernel
 
@@ -100,22 +116,26 @@ def fused_resblock_layer(x, w1, b1, w2, b2, dilation: int, interpret: bool = Fal
     Equivalent to x + conv1d(lrelu(dconv1d(lrelu(x), w1, b1, dilation)),
     w2, b2) with torch 'same' padding on both convs."""
     B, T, C = x.shape
+    if C % 128 != 0:
+        raise ValueError(
+            f"fused_resblock_layer requires lane-aligned channels (C % 128 == 0), got {C}"
+        )
     k = w1.shape[0]
     halo1 = (k - 1) // 2 * dilation
     halo2 = (k - 1) // 2
-    halo = halo1 + halo2
+    ha = -((halo1 + halo2) // -8) * 8  # total halo, rounded up to sublanes
 
     t_pad = (-T) % TILE_T
-    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (halo, halo + t_pad), (0, 0)))
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (ha, ha + t_pad), (0, 0)))
     Tp = T + t_pad
     grid = (B, Tp // TILE_T)
-    tin = TILE_T + 2 * halo
+    tin = TILE_T + 2 * ha
 
     out = pl.pallas_call(
-        _make_kernel(k, dilation, halo1, halo2, TILE_T, T),
+        _make_kernel(k, dilation, halo1, halo2, ha, TILE_T, T, interpret),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # full padded x, HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # full padded x stays in HBM
             pl.BlockSpec((k, C, C), lambda b, t: (0, 0, 0)),
             pl.BlockSpec((C,), lambda b, t: (0,)),
             pl.BlockSpec((k, C, C), lambda b, t: (0, 0, 0)),

@@ -32,7 +32,7 @@ def xla_reference(x, w1, b1, w2, b2, dilation):
 
 @pytest.mark.parametrize("k,dilation,T", [(3, 1, 700), (3, 5, 512), (11, 3, 300)])
 def test_fused_layer_matches_xla(rng, k, dilation, T):
-    B, C = 2, 16
+    B, C = 2, 128
     x = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
     w1 = jnp.asarray(rng.normal(size=(k, C, C)).astype(np.float32) * 0.1)
     w2 = jnp.asarray(rng.normal(size=(k, C, C)).astype(np.float32) * 0.1)
