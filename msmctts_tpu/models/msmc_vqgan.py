@@ -99,8 +99,10 @@ class MultiStageQuantizer(nn.Module):
     """Coarsest-first residual multi-stage multi-head quantization.
 
     ``upsample_scales`` is the reference's ``downsample_scales`` reversed
-    (msmc_vqgan.py:292-294). Only 'repeat' upsampling is implemented (the
-    mode every shipped recipe uses); 'mapping'/'residual' raise.
+    (msmc_vqgan.py:292-294). All three upsampling modes are implemented:
+    'repeat' (repeat_interleave, the mode every shipped recipe uses),
+    'mapping' (transposed conv), and 'residual' (repeat + dropout(transposed))
+    — reference msmc_vqgan.py:138-144,204-215; see test_upsampling_modes.py.
     """
 
     n_model_size: int

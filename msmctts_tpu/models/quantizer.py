@@ -98,20 +98,31 @@ class EMAQuantizer(nn.Module):
     def _variables(self):
         return self.embed, self.cluster_size, self.embed_avg
 
-    def __call__(self, x, lengths: Optional[jax.Array] = None, update: bool = True):
+    def __call__(
+        self,
+        x,
+        lengths: Optional[jax.Array] = None,
+        update: bool = True,
+        sort: bool = False,
+    ):
         """Quantize x [B, T, D] -> (quantized [B, T, D] straight-through,
         diff [B, T, D], indices [B, T, H] int32).
 
         EMA codebook updates run iff ``update`` and the 'codebook'
         collection is mutable in this apply call (i.e. the train step).
         Frames at t >= lengths[b] are excluded from the statistics.
+
+        ``sort=True`` returns the full nearest-first codeword ranking
+        [B, T, H, K] instead of the argmin indices (reference
+        Quantize(sort=True), modules.py:62-65, whose 1-head shape is
+        [B, T, K]).
         """
         B, T, D = x.shape
         H, d, K = self.n_head, self.sub_dim, self.n_embed
         embed, cluster_size, embed_avg = self._variables()
 
         xh = x.reshape(B, T, H, d)
-        indices, _ = nearest_codes(xh, embed.value)  # [B, T, H]
+        indices, dist = nearest_codes(xh, embed.value)  # [B, T, H]
         quant = _lookup(indices, jnp.swapaxes(embed.value, 1, 2))  # [B, T, H, d]
 
         if update and self.is_mutable_collection("codebook"):
@@ -164,6 +175,8 @@ class EMAQuantizer(nn.Module):
         )
         quant = quant.astype(x.dtype)
         quant_st = x + jax.lax.stop_gradient(quant - x)
+        if sort:
+            indices = jnp.argsort(dist, axis=-1).astype(jnp.int32)  # [B,T,H,K]
         return quant_st, diff, indices
 
     def quantize(self, x):

@@ -154,8 +154,15 @@ class VQGANTrainer(BaseTrainer):
                 hop_size=self.samplerate // 80,
                 num_mels=128,
             )
-            kwargs["fft_size"] = 2048 if kwargs["win_size"] > 1024 else 1024
             kwargs.update(self.stft_loss_config)
+            # Derive fft_size from the (possibly overridden) win_size unless
+            # the user pinned it explicitly. The reference derives it from the
+            # default win_size before applying overrides
+            # (msmctts_trainer.py:104-109), which silently mismatches when
+            # only win_size is overridden.
+            kwargs.setdefault(
+                "fft_size", 2048 if kwargs["win_size"] > 1024 else 1024
+            )
             sr = kwargs.pop("sample_rate")
             return {
                 "mel_loss": mel_loss(

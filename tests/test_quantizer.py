@@ -191,3 +191,22 @@ def test_lookup_roundtrip(rng):
         np.testing.assert_allclose(
             np.asarray(out)[:, :, h], embed[h].T[idx[..., h]], rtol=1e-6
         )
+
+
+def test_sort_returns_full_ranking(rng):
+    """sort=True returns the nearest-first codeword ranking [B,T,H,K]
+    (reference Quantize(sort=True), modules.py:62-65)."""
+    q, variables = make_quantizer(D=8, K=16, H=2)
+    x = jnp.asarray(rng.normal(size=(2, 5, 8)).astype(np.float32))
+    quant, diff, ranking = q.apply(variables, x, update=False, sort=True)
+    assert ranking.shape == (2, 5, 2, 16)
+    # first entry of the ranking is the argmin index
+    _, _, argmin_idx = q.apply(variables, x, update=False)
+    np.testing.assert_array_equal(np.asarray(ranking)[..., 0], np.asarray(argmin_idx))
+    # ranking orders distances ascending
+    embed = np.asarray(variables["codebook"]["embed"])  # [H, d, K]
+    xh = np.asarray(x).reshape(2, 5, 2, 4)
+    for h in range(2):
+        d = ((xh[:, :, h, None, :] - embed[h].T[None, None]) ** 2).sum(-1)
+        ranked = np.take_along_axis(d, np.asarray(ranking)[:, :, h], axis=-1)
+        assert (np.diff(ranked, axis=-1) >= -1e-5).all()
