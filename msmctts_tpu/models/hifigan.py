@@ -117,7 +117,9 @@ class HifiGANGenerator(nn.Module):
                 r = ResBlock1(ch, rk, tuple(rd), name=f"resblock_{i}_{j}")(x)
                 acc = r if acc is None else acc + r
             x = acc / num_kernels
-        x = nn.leaky_relu(x, GEN_LRELU)
+        # the reference's final activation is F.leaky_relu(x) with the torch
+        # DEFAULT slope 0.01, not LRELU_SLOPE (generator.py:52)
+        x = nn.leaky_relu(x, 0.01)
         x = WNConv(1, (7,), padding=3, hifigan_init=True, name="conv_post")(x)
         return jnp.tanh(x)
 

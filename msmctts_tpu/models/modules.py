@@ -98,6 +98,9 @@ class PriorPredictor(nn.Module):
     kernel_size: int = 5
     dilation_rate: int = 1
     n_layers: int = 4
+    # extra surface vs the reference (which hard-wires ResStack's 0.1,
+    # msmc_vqgan.py:82): lets tests/configs control the stack dropout
+    p_dropout: float = 0.1
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -106,6 +109,7 @@ class PriorPredictor(nn.Module):
             kernel_size=self.kernel_size,
             dilation_rate=self.dilation_rate,
             n_layers=self.n_layers,
+            p_dropout=self.p_dropout,
             name="enc",
         )(x, mask, deterministic=deterministic)
         # 1x1 projection (a Dense over the channel dim in NLC layout)

@@ -147,12 +147,13 @@ class WNConvTranspose1d(nn.Module):
 
 
 def fold_weight_norm(params):
-    """Fold every {v, g} pair in a params pytree into a dense kernel
-    (deployment-time equivalent of the reference's ``remove_weight_norm``,
-    hifigan/generator.py:57-64). Returns a pytree where each weight-normed
-    leaf dict gains a precomputed 'kernel'; modules keep reading v/g, so this
-    is provided for export tooling rather than the hot path (XLA constant-
-    folds the normalization when params are donated constants)."""
+    """Fold every {v, g} pair in a params pytree into a dense kernel stored
+    back in 'v' (deployment-time equivalent of the reference's
+    ``remove_weight_norm``, hifigan/generator.py:57-64). Because the folded
+    kernel's per-channel norm equals g, re-normalizing it is the identity —
+    so the folded tree is directly usable by the same modules, and folding is
+    idempotent. Provided for export tooling rather than the hot path (XLA
+    constant-folds the normalization when params are donated constants)."""
     import flax
 
     flat = flax.traverse_util.flatten_dict(params)
