@@ -1,40 +1,79 @@
 #!/usr/bin/env python
-"""Benchmark: end-to-end TTS synthesis throughput on the flagship
-CSMSC-shaped models (MultiStagePredictor 600-wide + MSMC-VQ-GAN with
-HiFi-GAN x300 upsampling, 24 kHz).
+"""Benchmarks on the flagship CSMSC-shaped models. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline"}.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is value / 300 — the driver-set north star of >=300x
-real-time per chip (BASELINE.md). Weights are randomly initialized (the
-compute graph, not the audio, is what is being measured).
+Modes
+-----
+synth (default)   Jitted text->waveform graph throughput (predictor +
+                  MSMC-VQ-GAN synthesis, x300 HiFi-GAN upsampling, 24 kHz).
+                  ``vs_baseline`` = value / 300 (driver north star:
+                  >=300x real-time per chip, BASELINE.md).
+--train-step      CSMSC-scale VQ-GAN GAN-phase train step (batch 16,
+                  D + G + EMA codebook update) -> steps/sec. No reference
+                  number exists (BASELINE.md: "tracked"); vs_baseline is
+                  steps/sec x batch / 16 utterances-per-sec normalized to
+                  the reference recipe's batch.
+--e2e-infer       The SHIPPED two-phase inference path (MSMCTTS.predict:
+                  host duration round-trip, frame bucketing, per-bucket
+                  compiles) -> x real-time, vs_baseline = value / 300.
+
+--vq-pallas {auto,on,off} routes the quantizer through the fused Pallas VQ
+kernel (on TPU) or the unfused XLA path — for kernel a/b measurement.
+
+Weights are randomly initialized: the compute graph, not the audio, is what
+is measured. Every timed call uses fresh inputs — the dev-runtime memoizes
+executions with identical input buffers (CLAUDE.md).
 """
 
 import argparse
 import json
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
-
-from msmctts_tpu.config import component_kwargs, load_yaml
-from msmctts_tpu.models.msmc_vqgan import MSMCVQGAN
-from msmctts_tpu.models.predictor import MultiStagePredictor
-from msmctts_tpu.parallel.precision import cast_floats
 
 SAMPLE_RATE = 24000
 FRAMESHIFT = 300  # samples per frame (12.5 ms)
+AE_YAML = "examples/csmsc/configs/msmc_vq_gan.yaml"
+AM_YAML = "examples/csmsc/configs/msmc_vq_gan_am.yaml"
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--fp32", action="store_true",
-                        help="benchmark in float32 instead of bfloat16")
-    args = parser.parse_args()
+def _emit(metric, value, unit, vs_baseline):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(float(value), 2),
+                "unit": unit,
+                "vs_baseline": round(float(vs_baseline), 3),
+            }
+        )
+    )
+
+
+def _vq_pallas_value(flag: str):
+    return {"auto": "auto", "on": True, "off": False}[flag]
+
+
+def _ae_module(dtype_unused, vq_pallas):
+    from msmctts_tpu.config import component_kwargs, load_yaml
+    from msmctts_tpu.models.msmc_vqgan import MSMCVQGAN
+
+    node = load_yaml(AE_YAML)["task"]["autoencoder"]
+    node["quantizer_config"]["use_pallas"] = _vq_pallas_value(vq_pallas)
+    return MSMCVQGAN(**component_kwargs(node))
+
+
+def bench_synth(args):
+    import jax
+    import jax.numpy as jnp
+
+    from msmctts_tpu.config import component_kwargs, load_yaml
+    from msmctts_tpu.models.predictor import MultiStagePredictor
+    from msmctts_tpu.parallel.precision import cast_floats
+
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
-    ae_node = load_yaml("examples/csmsc/configs/msmc_vq_gan.yaml")["task"]["autoencoder"]
-    am_node = load_yaml("examples/csmsc/configs/msmc_vq_gan_am.yaml")["task"]["predictor"]
-    ae = MSMCVQGAN(**component_kwargs(ae_node))
+    ae = _ae_module(dtype, args.vq_pallas)
+    am_node = load_yaml(AM_YAML)["task"]["predictor"]
     predictor = MultiStagePredictor(**component_kwargs(am_node))
 
     B, Lt, T = 16, 128, 512  # 16 utterances x 6.4 s each
@@ -83,7 +122,7 @@ def main():
     assert wav.shape == (B, T * FRAMESHIFT, 1), wav.shape
 
     # distinct inputs per run so no layer of the stack can cache results
-    n_runs = 8
+    n_runs = args.runs
     texts = [
         jnp.asarray(rng.integers(1, 90, size=(B, Lt, 3)).astype(np.int32))
         for _ in range(n_runs)
@@ -96,16 +135,155 @@ def main():
     wall = (time.perf_counter() - t0) / n_runs
     audio_seconds = B * T * FRAMESHIFT / SAMPLE_RATE
     rtf = audio_seconds / wall
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_tts_throughput",
-                "value": round(rtf, 2),
-                "unit": "x_realtime_per_chip",
-                "vs_baseline": round(rtf / 300.0, 3),
-            }
-        )
+    _emit("e2e_tts_throughput", rtf, "x_realtime_per_chip", rtf / 300.0)
+
+
+def bench_train_step(args):
+    import jax
+
+    from msmctts_tpu.config import Config, component_kwargs
+    from msmctts_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+    from msmctts_tpu.registry import get_trainer
+    from msmctts_tpu.tasks import build_task
+
+    config = Config(AE_YAML)
+    config.task.autoencoder.quantizer_config["use_pallas"] = _vq_pallas_value(
+        args.vq_pallas
     )
+    if args.fp32:
+        config["precision"] = "float32"
+    else:
+        config["precision"] = "bfloat16"
+    task = build_task(config, mode="train")
+    mesh = make_mesh()
+    trainer = get_trainer("VQGANTrainer")(
+        config, task, mesh=mesh, **component_kwargs(config.trainer)
+    )
+
+    # CSMSC envelope: batch 16 (msmc_vq_gan.yaml:99-108), ~4.8 s utterances
+    B, T = args.batch, args.frames
+    rng = np.random.default_rng(0)
+
+    def make_batch():
+        return {
+            "mel": rng.normal(size=(B, T, 80)).astype(np.float32),
+            "mel_length": np.full((B,), T, np.int32),
+            "wav": (rng.normal(size=(B, T * FRAMESHIFT)) * 0.1).astype(np.float32),
+            "wav_length": np.full((B,), T * FRAMESHIFT, np.int32),
+        }
+
+    state = trainer.init_state(jax.random.PRNGKey(0), make_batch())
+    state = replicate_state(state, mesh)
+
+    it0 = trainer.warmup_steps + 1  # GAN phase: D + G + EMA codebook update
+    # compile + warmup
+    state, metrics = trainer.train_step(state, shard_batch(make_batch(), mesh), it0)
+    jax.block_until_ready(state)
+
+    batches = [shard_batch(make_batch(), mesh) for _ in range(args.runs)]
+    t0 = time.perf_counter()
+    for i, b in enumerate(batches):
+        state, metrics = trainer.train_step(state, b, it0 + 1 + i)
+    jax.block_until_ready(state)
+    wall = (time.perf_counter() - t0) / args.runs
+    steps_per_sec = 1.0 / wall
+    # no reference number exists (BASELINE.md: "tracked"); vs_baseline =
+    # complete 800k-step CSMSC recipes (msmc_vq_gan.yaml:78) trainable per
+    # day at this rate
+    _emit(
+        "train_step_throughput",
+        steps_per_sec,
+        "steps_per_sec",
+        steps_per_sec * 86400.0 / 800000.0,
+    )
+
+
+def bench_e2e_infer(args):
+    import jax
+    import jax.numpy as jnp
+
+    from msmctts_tpu.config import Config, component_kwargs, load_yaml
+    from msmctts_tpu.models.predictor import MultiStagePredictor
+    from msmctts_tpu.tasks import build_task
+
+    # Task built from the AM recipe; the frozen AE is attached directly
+    # (random weights) instead of via _checkpoint.
+    config = Config(AM_YAML)
+    task = build_task(config, mode="infer")
+    predictor = task.networks["predictor"]
+    ae = _ae_module(None, args.vq_pallas)
+
+    B, Lt = args.batch, 128
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.integers(1, 90, size=(B, Lt, 3)).astype(np.int32))
+    text_length = jnp.full((B,), Lt, jnp.int32)
+    k = jax.random.PRNGKey(0)
+    pvars = jax.jit(
+        lambda k: predictor.init(
+            {"params": k, "dropout": k}, text, text_length,
+            dur=jnp.full((B, Lt), 4.0, jnp.float32), max_frames=512,
+            deterministic=True,
+        )
+    )(k)
+    mel = jnp.zeros((2, 16, 80), jnp.float32)
+    avars = jax.jit(
+        lambda k: ae.init(
+            {"params": k, "dropout": k}, mel, jnp.asarray([16, 16]),
+            warmup=False, deterministic=True,
+        )
+    )(k)
+    # random weights predict ~0 durations; bias the duration head to ~4
+    # frames/phone so the benched path carries a realistic frame load
+    pvars = jax.device_get(pvars)
+    pvars["params"]["upsampler"]["DurationPredictor_0"]["Dense_0"]["bias"] = (
+        np.asarray([4.0], np.float32)
+    )
+
+    task.networks["autoencoder"] = ae
+    task.variables = {"predictor": task._cast({"params": pvars["params"]})}
+    av = {"params": avars["params"], "codebook": avars["codebook"]}
+    task.variables["autoencoder"] = task._cast(av)
+    task._loaded_modules = True
+
+    def make_batch():
+        return {
+            "text": rng.integers(1, 90, size=(B, Lt, 3)).astype(np.int32),
+            "text_length": np.full((B,), Lt, np.int64),
+        }
+
+    # warmup: compile both phases for this bucket
+    out = task.predict(make_batch())
+    t0 = time.perf_counter()
+    total_audio = 0.0
+    for _ in range(args.runs):
+        out = task.predict(make_batch())
+        total_audio += sum(len(w) for w in out["wav"]) / SAMPLE_RATE
+    wall = time.perf_counter() - t0
+    rtf = total_audio / wall
+    _emit("e2e_infer_throughput", rtf, "x_realtime_per_chip", rtf / 300.0)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--fp32", action="store_true",
+                        help="benchmark in float32 instead of bfloat16")
+    parser.add_argument("--train-step", action="store_true",
+                        help="benchmark the CSMSC-scale GAN train step")
+    parser.add_argument("--e2e-infer", action="store_true",
+                        help="benchmark the shipped two-phase inference path")
+    parser.add_argument("--vq-pallas", choices=["auto", "on", "off"],
+                        default="auto", help="fused Pallas VQ kernel routing")
+    parser.add_argument("--runs", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--frames", type=int, default=384,
+                        help="mel frames per utterance (--train-step)")
+    args = parser.parse_args()
+    if args.train_step:
+        bench_train_step(args)
+    elif args.e2e_infer:
+        bench_e2e_infer(args)
+    else:
+        bench_synth(args)
 
 
 if __name__ == "__main__":

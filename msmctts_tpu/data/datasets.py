@@ -291,7 +291,49 @@ class BaseDataset:
     def __getitem__(self, index):
         return self.parse_case(index % len(self.id_list))
 
-    def parse_case(self, index):
+    def parse_cases(self, indices):
+        """Parse a batch of cases, bulk-reading every plain .npy/.wav file
+        through the native C++ thread pool in ONE GIL-released call
+        (native/msmc_io.cc msmc_read_batch) — the loader's collate path.
+        Zip members, .pt, .dat, and inline strings keep the python path;
+        without the native core this degrades to per-file reads."""
+        from msmctts_tpu.data import native
+
+        preloaded = None
+        if native.native_available():
+            paths, kinds, seen = [], [], set()
+            for index in indices:
+                case_id = self.id_list[index % len(self.id_list)]
+                for feat in self.feature:
+                    v = self.dataset.get((case_id, feat))
+                    if not isinstance(v, str) or v in seen:
+                        continue
+                    ext = os.path.splitext(v)[-1]
+                    if ext not in (".npy", ".wav") or not os.path.isfile(v):
+                        continue
+                    seen.add(v)
+                    paths.append(v)
+                    kinds.append(0 if ext == ".npy" else 1)
+            if paths:
+                arrays, srs = native.read_batch(paths, kinds)
+                preloaded = {}
+                for p, k, a, sr in zip(paths, kinds, arrays, srs):
+                    if k == 1:
+                        if self.samplerate and sr != self.samplerate:
+                            raise ValueError(
+                                f"sample rate mismatch: file {sr} != "
+                                f"config {self.samplerate}"
+                            )
+                        a = a[:, None]
+                    preloaded[p] = a
+        return [self.parse_case(i % len(self.id_list), preloaded) for i in indices]
+
+    def _load_path(self, path, dimension, preloaded):
+        if preloaded is not None and path in preloaded:
+            return preloaded[path]
+        return self.parse_file(path, dimension)
+
+    def parse_case(self, index, preloaded=None):
         case_id = self.id_list[index]
         data = {
             feat: self.dataset[(case_id, feat)]
@@ -306,7 +348,7 @@ class BaseDataset:
             coarsest = max(self.frameshift, key=self.frameshift.get)
             item = data[coarsest]
             if isinstance(item, str):
-                item = self.parse_file(item, self.dimension.get(coarsest))
+                item = self._load_path(item, self.dimension.get(coarsest), preloaded)
                 data[coarsest] = item
             n_frames = item.shape[0]
             max_start = max(0, n_frames - int(np.ceil(dur / self.frameshift[coarsest])))
@@ -319,7 +361,7 @@ class BaseDataset:
                 length = int(dur / self.frameshift[key]) if dur > 0 else -1
             if isinstance(feature, str):
                 feature = (
-                    self.parse_file(feature, self.dimension.get(key))
+                    self._load_path(feature, self.dimension.get(key), preloaded)
                     if os.path.isfile(feature.split(":")[0])
                     else self.parse_string(feature, self.dimension.get(key))
                 )
@@ -350,8 +392,8 @@ class MelDataset(BaseDataset):
 
     frame_buckets = FRAME_BUCKETS
 
-    def parse_case(self, index):
-        data = super().parse_case(index)
+    def parse_case(self, index, preloaded=None):
+        data = super().parse_case(index, preloaded)
         return align_features(data, self.frameshift)
 
     def collate_fn(self, batch):
@@ -388,8 +430,8 @@ class EmbDataset(BaseDataset):
 
     frame_buckets = FRAME_BUCKETS
 
-    def parse_case(self, index):
-        data = super().parse_case(index)
+    def parse_case(self, index, preloaded=None):
+        data = super().parse_case(index, preloaded)
         return align_features(data, self.frameshift)
 
     def collate_fn(self, batch):
@@ -433,8 +475,8 @@ class TTSDataset(BaseDataset):
     frame_buckets = FRAME_BUCKETS
     text_buckets = TEXT_BUCKETS
 
-    def parse_case(self, index):
-        data = super().parse_case(index)
+    def parse_case(self, index, preloaded=None):
+        data = super().parse_case(index, preloaded)
         data = align_features(data, self.frameshift)
 
         text = data["text"]

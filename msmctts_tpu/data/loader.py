@@ -56,7 +56,12 @@ class DataLoader:
             self.epoch += 1
 
     def _make_batch(self, idx_chunk):
-        cases = [self.dataset[i] for i in idx_chunk]
+        if hasattr(self.dataset, "parse_cases"):
+            # one GIL-released native C++ thread-pool read per batch
+            # (data/native.py read_batch)
+            cases = self.dataset.parse_cases(idx_chunk)
+        else:
+            cases = [self.dataset[i] for i in idx_chunk]
         return self.dataset.collate_fn(cases)
 
     def __iter__(self):

@@ -130,14 +130,17 @@ def read_batch(
     kinds: List[int],
     caps: Optional[List[int]] = None,
     n_threads: int = 0,
-) -> List[np.ndarray]:
+) -> Tuple[List[np.ndarray], List[int]]:
     """Parallel read of a mixed npy/wav batch (kind 0 = npy, 1 = wav);
-    all files load concurrently in C++ threads with the GIL released."""
+    all files load concurrently in C++ threads with the GIL released.
+    Returns (arrays, sample_rates) — sample rate is 0 for npy entries."""
     lib = _load()
     assert lib is not None
     n = len(paths)
     if caps is None:
-        caps = [1 << 24] * n
+        # file size in bytes upper-bounds the float count for every
+        # supported dtype (f4/f8/i4/i8 npy, 16/32-bit wav)
+        caps = [max(os.path.getsize(p), 64) for p in paths]
     arenas = [np.empty(c, np.float32) for c in caps]
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     c_kinds = (ctypes.c_int * n)(*kinds)
@@ -151,11 +154,12 @@ def read_batch(
     lib.msmc_read_batch(
         c_paths, n, c_kinds, c_outs, c_caps, c_shapes, c_ndims, c_status, n_threads
     )
-    out = []
+    out, srs = [], []
     for i in range(n):
         if c_status[i] != 0:
             raise IOError(f"native read failed for {paths[i]} (code {c_status[i]})")
         dims = tuple(c_shapes[i * 8 + j] for j in range(c_ndims[i]))
         m = int(np.prod(dims))
         out.append(arenas[i][:m].reshape(dims).copy())
-    return out
+        srs.append(int(c_shapes[i * 8 + 1]) if kinds[i] == 1 else 0)
+    return out, srs

@@ -116,6 +116,7 @@ class MultiStageQuantizer(nn.Module):
     dropout: float = 0.1
     update_codebook: bool = True
     restart_dead: float = 0.0  # dead-codeword restart threshold (see EMAQuantizer)
+    use_pallas: Any = "auto"  # fused Pallas VQ kernel routing (see EMAQuantizer)
 
     def setup(self):
         if self.upsampling not in ("repeat", "mapping", "residual"):
@@ -150,6 +151,7 @@ class MultiStageQuantizer(nn.Module):
                     n_embed=self._sizes[i],
                     n_head=self.n_heads,
                     restart_dead=self.restart_dead,
+                    use_pallas=self.use_pallas,
                     name=f"vq_{i}",
                 )
             )

@@ -24,7 +24,7 @@ codeword — drop out of the hinge).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -80,6 +80,12 @@ class EMAQuantizer(nn.Module):
     # The reference has no such mechanism (codebooks can collapse early);
     # default off preserves its exact training semantics.
     restart_dead: float = 0.0
+    # Route the nearest-codeword search + EMA statistics through the fused
+    # Pallas kernel (ops/pallas_vq.py), SPMD-partitioned via
+    # custom_partitioning (rows shard, stats psum). 'auto' enables it on the
+    # TPU backend; the unfused XLA path is used otherwise (and always for
+    # sort=True, which needs the full distance matrix).
+    use_pallas: Any = "auto"
 
     def setup(self):
         assert self.embed_dim % self.n_head == 0
@@ -97,6 +103,11 @@ class EMAQuantizer(nn.Module):
 
     def _variables(self):
         return self.embed, self.cluster_size, self.embed_avg
+
+    def _pallas_enabled(self) -> bool:
+        if self.use_pallas == "auto":
+            return jax.default_backend() == "tpu"
+        return bool(self.use_pallas)
 
     def __call__(
         self,
@@ -122,26 +133,45 @@ class EMAQuantizer(nn.Module):
         embed, cluster_size, embed_avg = self._variables()
 
         xh = x.reshape(B, T, H, d)
-        indices, dist = nearest_codes(xh, embed.value)  # [B, T, H]
-        quant = _lookup(indices, jnp.swapaxes(embed.value, 1, 2))  # [B, T, H, d]
+        if lengths is None:
+            mask2d = jnp.ones((B, T), jnp.float32)
+        else:
+            pos = jnp.arange(T, dtype=jnp.int32)[None, :]
+            mask2d = (pos < lengths.astype(jnp.int32)[:, None]).astype(jnp.float32)
+
+        use_pallas = self._pallas_enabled() and not sort
+        dist = None
+        onehot_sum = embed_sum = None
+        if use_pallas:
+            # fused Pallas path: one kernel computes argmin indices, the
+            # quantized rows, AND the masked EMA statistics (globally psum'd
+            # via custom_partitioning when the batch is sharded)
+            from msmctts_tpu.ops.pallas_vq import vq_nearest_stats_sharded
+
+            xf32 = jax.lax.stop_gradient(xh.astype(jnp.float32)).reshape(B * T, H, d)
+            idx_f, quant_f, onehot_sum, embed_sum = vq_nearest_stats_sharded(
+                xf32, embed.value, mask2d.reshape(B * T)
+            )
+            indices = idx_f.reshape(B, T, H)
+            quant = jax.lax.stop_gradient(quant_f).reshape(B, T, H, d)
+        else:
+            indices, dist = nearest_codes(xh, embed.value)  # [B, T, H]
+            quant = _lookup(indices, jnp.swapaxes(embed.value, 1, 2))  # [B, T, H, d]
 
         if update and self.is_mutable_collection("codebook"):
             xf = xh.astype(jnp.float32)
-            if lengths is None:
-                mask = jnp.ones((B, T, 1), jnp.float32)
-            else:
-                pos = jnp.arange(T, dtype=jnp.int32)[None, :]
-                mask = (pos < lengths.astype(jnp.int32)[:, None]).astype(jnp.float32)[..., None]
-            onehot = jax.nn.one_hot(indices, K, dtype=jnp.float32) * mask[..., None]
-            onehot_sum = jnp.sum(onehot, axis=(0, 1))  # [H, K]  (global under pjit)
-            # exact fp32 statistics: codebook EMA must not inherit the bf16
-            # default matmul rounding
-            embed_sum = jnp.einsum(
-                "bthd,bthk->hdk",
-                xf * mask[..., None],
-                onehot,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            mask = mask2d[..., None]
+            if onehot_sum is None:
+                onehot = jax.nn.one_hot(indices, K, dtype=jnp.float32) * mask[..., None]
+                onehot_sum = jnp.sum(onehot, axis=(0, 1))  # [H, K]  (global under pjit)
+                # exact fp32 statistics: codebook EMA must not inherit the bf16
+                # default matmul rounding
+                embed_sum = jnp.einsum(
+                    "bthd,bthk->hdk",
+                    xf * mask[..., None],
+                    onehot,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
 
             new_cs = cluster_size.value * self.decay + (1.0 - self.decay) * onehot_sum
             new_ea = embed_avg.value * self.decay + (1.0 - self.decay) * embed_sum
@@ -184,8 +214,20 @@ class EMAQuantizer(nn.Module):
         inference path used by predictor snapping and ``synthesis``
         (msmc_vqgan.py:372-398)."""
         B, T, D = x.shape
+        H, d = self.n_head, self.sub_dim
         embed, _, _ = self._variables()
-        xh = x.reshape(B, T, self.n_head, self.sub_dim)
+        xh = x.reshape(B, T, H, d)
+        if self._pallas_enabled():
+            from msmctts_tpu.ops.pallas_vq import vq_nearest_stats_sharded
+
+            xf32 = jax.lax.stop_gradient(xh.astype(jnp.float32)).reshape(B * T, H, d)
+            idx_f, quant_f, _, _ = vq_nearest_stats_sharded(
+                xf32, embed.value, jnp.zeros((B * T,), jnp.float32)
+            )
+            return (
+                quant_f.reshape(B, T, D).astype(x.dtype),
+                idx_f.reshape(B, T, H),
+            )
         indices, _ = nearest_codes(xh, embed.value)
         quant = _lookup(indices, jnp.swapaxes(embed.value, 1, 2))
         return quant.reshape(B, T, D).astype(x.dtype), indices

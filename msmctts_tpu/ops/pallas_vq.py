@@ -14,10 +14,16 @@ scatter; SURVEY.md 2.12).
 
 Layout note: blocks must keep their last two dims (8,128)-aligned or
 full-size on TPU, so the head axis leads and each block is one head x one
-row tile. The unfused jax path (models/quantizer.py) remains the default
-under automatic SPMD partitioning (a pallas_call is opaque to the
-partitioner); this kernel serves single-shard paths — inference snapping
-and explicitly shard_mapped training steps — via ``vq_nearest_stats``.
+row tile.
+
+SPMD: a raw ``pallas_call`` is opaque to the XLA partitioner, so
+``vq_nearest_stats_sharded`` wraps the kernel in ``custom_partitioning``
+teaching it the data-parallel decomposition: rows (and their indices /
+quantized outputs) shard over the batch axes, the codebook is replicated,
+and the EMA statistics are per-shard partial sums psum'd across the mesh —
+exactly the global-masked-sum semantics of the unfused path, so multi-chip
+codebooks stay synchronized. ``EMAQuantizer(use_pallas=...)`` routes the
+production quantizer through this op.
 """
 
 from __future__ import annotations
@@ -28,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 TILE_M = 256
 
@@ -128,3 +136,79 @@ def vq_nearest(x, embed, interpret: bool = False):
     mask = jnp.zeros((x.shape[0],), jnp.float32)
     idx, quant, _, _ = vq_nearest_stats(x, embed, mask, interpret=interpret)
     return idx, quant
+
+
+# ------------------------------------------------------- SPMD-aware wrapper
+
+
+def _row_axes(spec):
+    """Mesh axes sharding dim 0 of a PartitionSpec (() when replicated)."""
+    if spec is None or len(spec) == 0 or spec[0] is None:
+        return ()
+    row = spec[0]
+    return (row,) if isinstance(row, str) else tuple(row)
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _make_sharded():
+    @custom_partitioning
+    def vq_op(x, embed, mask):
+        return vq_nearest_stats(x, embed, mask, interpret=_default_interpret())
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        row = arg_shapes[0].sharding.spec
+        row0 = row[0] if len(row) else None
+        return (
+            NamedSharding(mesh, P(row0, None)),
+            NamedSharding(mesh, P(row0, None, None)),
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P()),
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        x_spec = arg_shapes[0].sharding.spec
+        row0 = x_spec[0] if len(x_spec) else None
+        axes = _row_axes(x_spec)
+        arg_shardings = (
+            NamedSharding(mesh, P(row0, None, None)),
+            NamedSharding(mesh, P()),  # codebook replicated
+            NamedSharding(mesh, P(row0)),
+        )
+        out_shardings = (
+            NamedSharding(mesh, P(row0, None)),
+            NamedSharding(mesh, P(row0, None, None)),
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P()),
+        )
+
+        def lower_fn(x, embed, mask):
+            idx, quant, counts, sums = vq_nearest_stats(
+                x, embed, mask, interpret=_default_interpret()
+            )
+            if axes:
+                counts = jax.lax.psum(counts, axes)
+                sums = jax.lax.psum(sums, axes)
+            return idx, quant, counts, sums
+
+        return mesh, lower_fn, out_shardings, arg_shardings
+
+    vq_op.def_partition(
+        infer_sharding_from_operands=infer_sharding,
+        partition=partition,
+        # Shardy propagation rule: rows (n) shard; codebook dims replicate;
+        # the statistics carry no row factor (they are cross-shard sums,
+        # materialized by the psum in lower_fn)
+        sharding_rule="n h d, h e k, n -> n h, n h d, h k, h e k",
+    )
+    return vq_op
+
+
+vq_nearest_stats_sharded = _make_sharded()
+"""x [N, H, d], embed [H, d, K], mask [N] -> (indices [N, H], quant
+[N, H, d] f32, counts [H, K], sums [H, d, K]), composing with jit/pjit:
+rows may be sharded over any mesh axes; the returned statistics are global
+(psum'd) sums. Non-differentiable — callers stop_gradient the inputs and
+rebuild the straight-through estimator outside."""

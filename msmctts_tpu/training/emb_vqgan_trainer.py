@@ -391,10 +391,9 @@ class NASynEmbFSTrainer(BaseTrainer):
         ]
         self.lambda_dur = lambda_dur
         self.predictor = task.networks["predictor"]
-        node = config.task["autoencoder"]
-        self.ae, self.ae_variables, _ = load_frozen_autoencoder(
-            node["_checkpoint"], node.get("_config")
-        )
+        # frozen teacher loads lazily (reference msmctts_trainer.py:288-295)
+        self.ae = None
+        self.ae_variables = None
         self.tx = build_optimizer(
             optimizer_config_for(config, "predictor"),
             config.get("lr_scheduler"),
@@ -402,6 +401,14 @@ class NASynEmbFSTrainer(BaseTrainer):
             freeze_patterns=config.get("freeze"),
         )
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+
+    def _ensure_autoencoder(self):
+        if self.ae is not None:
+            return
+        node = self.config.task["autoencoder"]
+        self.ae, self.ae_variables, _ = load_frozen_autoencoder(
+            node["_checkpoint"], node.get("_config")
+        )
 
     def _analysis(self, batch):
         return self.ae.apply(
@@ -415,6 +422,7 @@ class NASynEmbFSTrainer(BaseTrainer):
         )
 
     def init_state(self, rng, batch):
+        self._ensure_autoencoder()
         arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "_id"}
 
         @jax.jit

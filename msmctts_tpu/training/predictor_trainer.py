@@ -50,7 +50,23 @@ class PredictorTrainer(BaseTrainer):
         self.predictor = task.networks["predictor"]
 
         self.compute_dtype = compute_dtype(config)
-        node = config.task["autoencoder"]
+        # The frozen teacher AE loads lazily at the first step (reference
+        # builds it lazily too, msmctts_trainer.py:288-295) so trainer
+        # construction never needs the checkpoint file on disk.
+        self.ae = None
+        self.ae_variables = None
+
+        lr_cfg = config.get("lr_scheduler")
+        self.tx = build_optimizer(
+            optimizer_config_for(config, "predictor"), lr_cfg, grad_clip_thresh,
+            freeze_patterns=config.get("freeze"),
+        )
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+
+    def _ensure_autoencoder(self):
+        if self.ae is not None:
+            return
+        node = self.config.task["autoencoder"]
         self.ae, self.ae_variables, _ = load_frozen_autoencoder(
             node["_checkpoint"], node.get("_config")
         )
@@ -60,14 +76,8 @@ class PredictorTrainer(BaseTrainer):
             params=cast_floats(self.ae_variables["params"], self.compute_dtype),
         )
 
-        lr_cfg = config.get("lr_scheduler")
-        self.tx = build_optimizer(
-            optimizer_config_for(config, "predictor"), lr_cfg, grad_clip_thresh,
-            freeze_patterns=config.get("freeze"),
-        )
-        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
-
     def init_state(self, rng, batch):
+        self._ensure_autoencoder()
         arrays = {
             k: jnp.asarray(batch[k])
             for k in ("mel", "mel_length", "text", "text_length", "dur")

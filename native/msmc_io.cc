@@ -233,6 +233,7 @@ void msmc_read_batch(const char** paths, int n, const int* kinds,
         int64_t ns;
         statuses[i] = msmc_read_wav(paths[i], outs[i], caps[i], &ns, &sr);
         shapes[i * 8] = ns;
+        shapes[i * 8 + 1] = sr;  // sample rate rides the unused shape slot
         ndims[i] = 1;
       }
     }

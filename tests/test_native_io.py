@@ -1,5 +1,7 @@
 """Native C++ IO core parity vs numpy/scipy readers."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -64,6 +66,58 @@ def test_read_batch_parallel(rng, tmp_path):
             kinds.append(1)
             refs.append(load_wav(p))
         paths.append(p)
-    out = native.read_batch(paths, kinds, n_threads=4)
-    for o, r in zip(out, refs):
+    out, srs = native.read_batch(paths, kinds, n_threads=4)
+    for o, r, k, sr in zip(out, refs, kinds, srs):
         np.testing.assert_allclose(o, r.astype(np.float32), atol=1e-6)
+        assert sr == (8000 if k == 1 else 0)
+
+
+def test_loader_uses_native_batch_path(rng, tmp_path):
+    """DataLoader._make_batch routes through BaseDataset.parse_cases (one
+    C++ thread-pool read per batch) and produces batches identical to the
+    per-file python path."""
+    from msmctts_tpu.data.datasets import MelDataset
+    from msmctts_tpu.data.loader import DataLoader
+
+    os.makedirs(tmp_path / "mel", exist_ok=True)
+    os.makedirs(tmp_path / "wav", exist_ok=True)
+    ids = []
+    for i in range(6):
+        uid = f"u{i:03d}"
+        T = 24 + 4 * i
+        mel = rng.normal(size=(T, 8)).astype(np.float32)
+        wav = (rng.normal(size=T * 4) * 0.2).astype(np.float32)
+        np.save(str(tmp_path / "mel" / f"{uid}.npy"), mel)
+        save_wav(str(tmp_path / "wav" / f"{uid}.wav"), wav, 16000)
+        ids.append(uid)
+    listfile = str(tmp_path / "train.list")
+    with open(listfile, "w") as f:
+        f.write("\n".join(ids) + "\n")
+
+    def make_ds():
+        return MelDataset(
+            id_list=listfile,
+            feature=["mel", "wav"],
+            samplerate=16000,
+            dimension=[8, 1],
+            frameshift=[4, 1],
+            feature_path=[
+                str(tmp_path / "mel" / "{}.npy"),
+                str(tmp_path / "wav" / "{}.wav"),
+            ],
+            padding_value=[0, 0],
+            seed=7,
+        )
+
+    ds = make_ds()
+    assert native.native_available()
+    chunk = [0, 1, 2]
+    native_cases = ds.parse_cases(chunk)
+    python_cases = [ds.parse_case(i, preloaded=None) for i in chunk]
+    for a, b in zip(native_cases, python_cases):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], atol=1e-6, err_msg=k)
+
+    loader = DataLoader(make_ds(), batch_size=3, num_workers=2, seed=7)
+    batch = next(iter(loader))
+    assert batch["mel"].shape[0] == 3 and batch["wav"].shape[0] == 3
