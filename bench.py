@@ -10,9 +10,8 @@ synth (default)   Jitted text->waveform graph throughput (predictor +
                   >=300x real-time per chip, BASELINE.md).
 --train-step      CSMSC-scale VQ-GAN GAN-phase train step (batch 16,
                   D + G + EMA codebook update) -> steps/sec. No reference
-                  number exists (BASELINE.md: "tracked"); vs_baseline is
-                  steps/sec x batch / 16 utterances-per-sec normalized to
-                  the reference recipe's batch.
+                  number exists (BASELINE.md: "tracked"); vs_baseline =
+                  complete 800k-step CSMSC recipes trainable per day.
 --e2e-infer       The SHIPPED two-phase inference path (MSMCTTS.predict:
                   host duration round-trip, frame bucketing, per-bucket
                   compiles) -> x real-time, vs_baseline = value / 300.
@@ -54,6 +53,13 @@ def _vq_pallas_value(flag: str):
     return {"auto": "auto", "on": True, "off": False}[flag]
 
 
+def _rand_text(rng, B, Lt, n_symbols):
+    """Valid ids per embedding stream (CSMSC n_symbols [100, 10, 2];
+    out-of-range ids NaN-fill jnp.take on TPU)."""
+    cols = [rng.integers(1, max(n, 2), size=(B, Lt)) for n in n_symbols]
+    return np.stack(cols, axis=-1).astype(np.int32)
+
+
 def _ae_module(dtype_unused, vq_pallas):
     from msmctts_tpu.config import component_kwargs, load_yaml
     from msmctts_tpu.models.msmc_vqgan import MSMCVQGAN
@@ -78,7 +84,8 @@ def bench_synth(args):
 
     B, Lt, T = 16, 128, 512  # 16 utterances x 6.4 s each
     rng = np.random.default_rng(0)
-    text = jnp.asarray(rng.integers(1, 90, size=(B, Lt, 3)).astype(np.int32))
+    n_symbols = list(am_node["n_symbols"])
+    text = jnp.asarray(_rand_text(rng, B, Lt, n_symbols))
     text_length = jnp.full((B,), Lt, jnp.int32)
     dur = jnp.full((B, Lt), T // Lt, jnp.float32)
 
@@ -123,10 +130,7 @@ def bench_synth(args):
 
     # distinct inputs per run so no layer of the stack can cache results
     n_runs = args.runs
-    texts = [
-        jnp.asarray(rng.integers(1, 90, size=(B, Lt, 3)).astype(np.int32))
-        for _ in range(n_runs)
-    ]
+    texts = [jnp.asarray(_rand_text(rng, B, Lt, n_symbols)) for _ in range(n_runs)]
     jax.block_until_ready(texts)
     t0 = time.perf_counter()
     for i in range(n_runs):
@@ -215,7 +219,8 @@ def bench_e2e_infer(args):
 
     B, Lt = args.batch, 128
     rng = np.random.default_rng(0)
-    text = jnp.asarray(rng.integers(1, 90, size=(B, Lt, 3)).astype(np.int32))
+    n_symbols = list(config.task["predictor"]["n_symbols"])
+    text = jnp.asarray(_rand_text(rng, B, Lt, n_symbols))
     text_length = jnp.full((B,), Lt, jnp.int32)
     k = jax.random.PRNGKey(0)
     pvars = jax.jit(
@@ -247,7 +252,7 @@ def bench_e2e_infer(args):
 
     def make_batch():
         return {
-            "text": rng.integers(1, 90, size=(B, Lt, 3)).astype(np.int32),
+            "text": _rand_text(rng, B, Lt, n_symbols),
             "text_length": np.full((B,), Lt, np.int64),
         }
 

@@ -30,7 +30,7 @@ from msmctts_tpu.utils.audio import AudioConfig, melspectrogram  # noqa: E402
 from msmctts_tpu.utils.text import encode_phone_string  # noqa: E402
 
 
-def normalize_wav(path_in, path_out, sample_rate):
+def normalize_wav(path_in, path_out, sample_rate, norm_db=-7.0):
     from scipy.signal import resample_poly
     from scipy.io import wavfile
     import math
@@ -47,10 +47,11 @@ def normalize_wav(path_in, path_out, sample_rate):
     if sr != sample_rate:
         g = math.gcd(sr, sample_rate)
         data = resample_poly(data, sample_rate // g, sr // g)
-    # peak normalize to -7 dBFS (sox --norm=-7)
-    peak = np.abs(data).max()
-    if peak > 0:
-        data = data * (10 ** (-7 / 20.0) / peak)
+    # peak normalize (sox --norm=<db>, audio_normalization.sh); None skips
+    if norm_db is not None:
+        peak = np.abs(data).max()
+        if peak > 0:
+            data = data * (10 ** (norm_db / 20.0) / peak)
     save_wav(path_out, data, sample_rate)
 
 
@@ -105,10 +106,15 @@ def main():
     p.add_argument("--textgrid-in", help="TextGrid dir")
     p.add_argument("--out", required=True)
     p.add_argument("--sample-rate", type=int, default=24000)
+    p.add_argument("--norm-db", default="-7",
+                   help="peak-normalization level in dBFS "
+                        "(audio_normalization.sh's sox --norm=-7); "
+                        "'none' to skip")
     p.add_argument("--frame-shift-ms", type=float, default=12.5)
     p.add_argument("--valid-utts", type=int, default=20)
     p.add_argument("--workers", type=int, default=os.cpu_count())
     args = p.parse_args()
+    norm_db = None if str(args.norm_db).lower() == "none" else float(args.norm_db)
 
     os.makedirs(args.out, exist_ok=True)
     wav_dir = os.path.join(args.out, f"wav_{args.sample_rate}")
@@ -129,7 +135,7 @@ def main():
                 ids.append(uid)
                 src = os.path.join(args.wav_in, name)
                 dst = os.path.join(wav_dir, name)
-                futs.append(ex.submit(_one, src, dst, os.path.join(mel_dir, uid), cfg, args.sample_rate))
+                futs.append(ex.submit(_one, src, dst, os.path.join(mel_dir, uid), cfg, args.sample_rate, norm_db))
             for f in futs:
                 f.result()
         print(f"processed {len(ids)} wavs -> {wav_dir}, {mel_dir}")
@@ -160,8 +166,8 @@ def main():
             f.write("\n".join(ids[: args.valid_utts]) + "\n")
 
 
-def _one(src, dst, mel_base, cfg, sr):
-    normalize_wav(src, dst, sr)
+def _one(src, dst, mel_base, cfg, sr, norm_db=-7.0):
+    normalize_wav(src, dst, sr, norm_db)
     extract_mel(dst, mel_base, cfg)
 
 

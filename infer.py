@@ -79,10 +79,12 @@ def main():
     save_features = config.get("save_features") or [["wav", ".wav", config.dataset["samplerate"]]]
 
     step_fn = task.debug_step if args.debug else task.infer_step
+    total = 0
     for batch in finite_loader(dataset, args.batch_size):
         ids = batch.pop("_id", None)
         output = step_fn(batch)
         n = len(next(iter(output.values())))
+        total += n
         for j in range(n):
             case = dataset.id_list[int(ids[j])] if ids is not None else (str(j),)
             case_name = case[0] if isinstance(case, (tuple, list)) else str(case)
@@ -96,7 +98,7 @@ def main():
                         feat, dataset.feature_stat[name], denormalize=True
                     )
                 save_feature(os.path.join(out_dir, case_name + "_" + name), ext, feat, sr)
-        print(f"processed {n} utterances -> {out_dir}")
+    print(f"processed {total} utterances -> {out_dir}")
 
 
 if __name__ == "__main__":

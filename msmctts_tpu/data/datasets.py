@@ -233,7 +233,10 @@ class BaseDataset:
                 from msmctts_tpu.data import native
 
                 if native.native_available():
-                    return native.read_npy(src)
+                    try:
+                        return native.read_npy(src)
+                    except IOError:
+                        pass  # exotic layout/dtype: numpy fallback
             return np.load(src).astype(np.float32)
         if ext == ".wav":
             if isinstance(src, str):
@@ -315,17 +318,23 @@ class BaseDataset:
                     paths.append(v)
                     kinds.append(0 if ext == ".npy" else 1)
             if paths:
-                arrays, srs = native.read_batch(paths, kinds)
-                preloaded = {}
-                for p, k, a, sr in zip(paths, kinds, arrays, srs):
-                    if k == 1:
-                        if self.samplerate and sr != self.samplerate:
-                            raise ValueError(
-                                f"sample rate mismatch: file {sr} != "
-                                f"config {self.samplerate}"
-                            )
-                        a = a[:, None]
-                    preloaded[p] = a
+                try:
+                    arrays, srs = native.read_batch(paths, kinds)
+                except IOError:
+                    # e.g. an exotic npy the C++ parser rejects — degrade to
+                    # the per-file python readers for this batch
+                    arrays = None
+                if arrays is not None:
+                    preloaded = {}
+                    for p, k, a, sr in zip(paths, kinds, arrays, srs):
+                        if k == 1:
+                            if self.samplerate and sr != self.samplerate:
+                                raise ValueError(
+                                    f"sample rate mismatch: file {sr} != "
+                                    f"config {self.samplerate}"
+                                )
+                            a = a[:, None]
+                        preloaded[p] = a
         return [self.parse_case(i % len(self.id_list), preloaded) for i in indices]
 
     def _load_path(self, path, dimension, preloaded):

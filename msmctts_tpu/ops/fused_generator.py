@@ -102,6 +102,8 @@ def fused_generator_apply(params, x, decoder_config, use_pallas: bool = True):
             r = _resblock(params[f"resblock_{i}_{j}"], x, rk, rd, use_pallas)
             acc = r if acc is None else acc + r
         x = acc / len(rks)
-    x = jnp.where(x >= 0, x, LRELU_SLOPE * x)
+    # final activation uses the torch DEFAULT slope 0.01, not LRELU_SLOPE
+    # (reference generator.py:52; matches models/hifigan.py)
+    x = jnp.where(x >= 0, x, 0.01 * x)
     w, b = _fold(params["conv_post"])
     return jnp.tanh(_conv1d(x, w, b, padding=3))

@@ -216,6 +216,7 @@ class MSMCTTS(BaseTask):
                 if name == "autoencoder" and "codebook" in state:
                     v["codebook"] = state["codebook"]
                 self.variables[name] = self._cast(v)
+        self._jit_cache.pop("codebooks", None)
 
     def pre_infer(self):
         self._loaded_modules = True
@@ -226,6 +227,7 @@ class MSMCTTS(BaseTask):
             )
             self.networks["autoencoder"] = module
             self.variables["autoencoder"] = self._cast(variables)
+            self._jit_cache.pop("codebooks", None)
 
     # ------------------------------------------------------------- infer
     def infer_step(self, batch: dict) -> dict:
@@ -275,12 +277,21 @@ class MSMCTTS(BaseTask):
         }
 
     def predict(self, batch: dict) -> dict:
-        """text -> MSMCR -> waveform (msmc_tts.py:109-127)."""
+        """text -> MSMCR -> waveform (msmc_tts.py:109-127).
+
+        Two-phase: durations predicted on device, only the per-utterance
+        frame TOTALS cross to the host (one [B]-int transfer) to pick the
+        static frame bucket; the duration tensor itself stays on device for
+        phase 2. Codebooks are uploaded once and cached (D2H/H2D transfers
+        carry a high fixed latency on remote-attached TPUs)."""
         predictor = self.networks["predictor"]
         ae = self.networks["autoencoder"]
         pvars = self.variables["predictor"]
         avars = self.variables["autoencoder"]
-        codebooks = [jnp.asarray(c) for c in extract_codebooks(avars)]
+        codebooks = self._jit_cache.get("codebooks")
+        if codebooks is None:
+            codebooks = [jnp.asarray(c) for c in extract_codebooks(avars)]
+            self._jit_cache["codebooks"] = codebooks
         scales = list(predictor.n_pred_scale)
         lcm = math.lcm(*scales) if scales else 1
 
@@ -293,17 +304,19 @@ class MSMCTTS(BaseTask):
         if dur_fn is None:
             @jax.jit
             def dur_fn(v, text, text_length):
-                return predictor.apply(
+                dur = predictor.apply(
                     v, text, text_length, method="predict_durations"
                 )
+                dur = jnp.round(jnp.maximum(dur, 0.0))
+                Lt_ = dur.shape[1]
+                mask = jnp.arange(Lt_)[None, :] < text_length[:, None]
+                dur = dur * mask
+                return dur, jnp.sum(dur, axis=1).astype(jnp.int32)
 
             self._jit_cache[("dur", Lt)] = dur_fn
 
-        durations = np.asarray(dur_fn(pvars, text, text_length))
-        durations = np.round(np.maximum(durations, 0.0))
-        mask = np.arange(Lt)[None, :] < np.asarray(batch["text_length"])[:, None]
-        durations = durations * mask
-        total = durations.sum(axis=1).astype(np.int64)
+        durations_dev, total_dev = dur_fn(pvars, text, text_length)
+        total = np.asarray(total_dev).astype(np.int64)  # one small D2H
         max_frames = bucket_length(
             max(int(total.max()), lcm), FRAME_BUCKETS
         )
@@ -338,17 +351,17 @@ class MSMCTTS(BaseTask):
             avars,
             text,
             text_length,
-            jnp.asarray(durations, jnp.float32),
+            durations_dev.astype(jnp.float32),
             codebooks,
             max_frames=max_frames,
         )
         wav = np.asarray(wav)
-        feats = [np.asarray(f) for f in out["feat"]]
-        ratio = wav.shape[1] // feats[-1].shape[1]
+        fine = np.asarray(out["feat"][-1])
+        ratio = wav.shape[1] // fine.shape[1]
         wav_lengths = (total * ratio).astype(np.int64)
         return {
             "wav": [w[:l] for w, l in zip(wav, wav_lengths)],
-            "embedding": [f[: int(t)] for f, t in zip(feats[-1], total)],
-            "duration": durations,
+            "embedding": [f[: int(t)] for f, t in zip(fine, total)],
+            "duration": np.asarray(durations_dev),
             "mel_length": total,
         }

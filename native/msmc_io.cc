@@ -118,7 +118,14 @@ int msmc_read_npy(const char* path, float* out, int64_t cap,
   if (!f) return -1;
   NpyInfo info;
   if (!parse_npy_header(f, &info)) { fclose(f); return -2; }
-  if (info.fortran && info.ndim > 1) { fclose(f); return -5; }
+  // Fortran order: supported for full 2-D reads (transposed on load,
+  // matching the reference python reader, utils.py:20-99); row-sliced
+  // Fortran reads would need per-column seeks — unsupported.
+  bool fortran2d = info.fortran && info.ndim == 2;
+  if (info.fortran && info.ndim > 1 && !fortran2d) { fclose(f); return -5; }
+  if (fortran2d && (row_start != 0 || (row_count >= 0 && row_count != info.shape[0]))) {
+    fclose(f); return -5;
+  }
 
   int64_t rows = info.shape[0];
   int64_t row_elems = 1;
@@ -135,16 +142,28 @@ int msmc_read_npy(const char* path, float* out, int64_t cap,
   if (fread(buf.data(), 1, buf.size(), f) != buf.size()) { fclose(f); return -4; }
   fclose(f);
 
+  std::vector<float> tmp;
+  float* dst = out;
+  if (fortran2d) { tmp.resize(n); dst = tmp.data(); }
+
   if (info.kind == 'f' && info.itemsize == 4) {
-    memcpy(out, buf.data(), n * 4);
+    memcpy(dst, buf.data(), n * 4);
   } else if (info.kind == 'f' && info.itemsize == 8) {
-    convert_to_f32<double>(buf.data(), out, n);
+    convert_to_f32<double>(buf.data(), dst, n);
   } else if (info.kind == 'i' && info.itemsize == 4) {
-    convert_to_f32<int32_t>(buf.data(), out, n);
+    convert_to_f32<int32_t>(buf.data(), dst, n);
   } else if (info.kind == 'i' && info.itemsize == 8) {
-    convert_to_f32<int64_t>(buf.data(), out, n);
+    convert_to_f32<int64_t>(buf.data(), dst, n);
   } else {
     return -5;
+  }
+
+  if (fortran2d) {
+    // column-major [R, C] -> row-major out
+    int64_t R = info.shape[0], C = info.shape[1];
+    for (int64_t c = 0; c < C; c++)
+      for (int64_t r = 0; r < R; r++)
+        out[r * C + c] = tmp[c * R + r];
   }
 
   shape_out[0] = row_count;

@@ -121,3 +121,17 @@ def test_loader_uses_native_batch_path(rng, tmp_path):
     loader = DataLoader(make_ds(), batch_size=3, num_workers=2, seed=7)
     batch = next(iter(loader))
     assert batch["mel"].shape[0] == 3 and batch["wav"].shape[0] == 3
+
+
+def test_read_npy_fortran_order(rng, tmp_path):
+    """Fortran-ordered 2-D .npy (e.g. transposed mel extractor output) is
+    transposed on load, matching np.load (reference utils.py supports
+    Fortran order too)."""
+    arr = np.asfortranarray(rng.normal(size=(17, 5)).astype(np.float32))
+    p = str(tmp_path / "f.npy")
+    np.save(p, arr)
+    out = native.read_npy(p)
+    np.testing.assert_allclose(out, arr, atol=0)
+    # batch path too
+    outs, _ = native.read_batch([p], [0])
+    np.testing.assert_allclose(outs[0], arr, atol=0)

@@ -42,8 +42,10 @@ def _run_steps(n_devices, iterations):
     return jax.device_get(state), all_metrics
 
 
-@pytest.mark.parametrize("phase_iters", [[1, 2], [3, 4]])  # warmup, GAN
-def test_codebook_and_loss_parity_1_vs_8_devices(phase_iters):
+def test_codebook_and_loss_parity_1_vs_8_devices():
+    # one pass crossing the warmup->GAN boundary (tiny warmup_steps=2)
+    # exercises BOTH phase programs with a single compile per device config
+    phase_iters = [1, 2, 3, 4]
     assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
     state1, metrics1 = _run_steps(1, phase_iters)
     state8, metrics8 = _run_steps(8, phase_iters)
