@@ -26,11 +26,10 @@ import numpy as np
 from msmctts_tpu.config import component_kwargs
 from msmctts_tpu.data.loader import DataLoader
 from msmctts_tpu.parallel.mesh import (
-    make_mesh,
     pad_batch_to_devices,
-    replicate_state,
     shard_batch,
 )
+from msmctts_tpu.parallel.sharding import mesh_from_config, shard_state
 from msmctts_tpu.registry import get_dataset
 from msmctts_tpu.utils.checkpoint import (
     find_latest_checkpoint,
@@ -95,8 +94,10 @@ class BaseTrainer:
         self._metric_names = {}
         self.config = config
         self.task = task
-        self.mesh = mesh if mesh is not None else make_mesh()
-        self.n_devices = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        self.mesh = mesh if mesh is not None else mesh_from_config(config)
+        # batches are sharded over the 'data' axis only; a 'model' axis (if
+        # any) shards parameters (parallel/sharding.py), not the batch
+        self.n_devices = int(self.mesh.shape.get("data", 1))
         self.save_dir = config.get("save_checkpoint_dir", "checkpoints")
         self.training_steps = int(config.get("training_steps", 1_000_000))
         self.iters_per_checkpoint = int(config.get("iters_per_checkpoint", 50_000))
@@ -166,7 +167,7 @@ class BaseTrainer:
                 if k in ckpt["state"]
             }
             self.state = merge_states(self.state, model_only)
-        self.state = replicate_state(self.state, self.mesh)
+        self.state = shard_state(self.state, self.mesh)
 
     def save(self):
         if jax.process_index() != 0:
