@@ -72,12 +72,21 @@ def _assert_state_parity(state1, state2, rtol_params=2e-3, atol_params=2e-4):
         )
 
 
-def test_codebook_and_loss_parity_1_vs_8_devices():
-    # one pass crossing the warmup->GAN boundary (tiny warmup_steps=2)
-    # exercises BOTH phase programs with a single compile per device config
-    phase_iters = [1, 2, 3, 4]
+# one pass crossing the warmup->GAN boundary (tiny warmup_steps=2)
+# exercises BOTH phase programs with a single compile per device config
+PHASE_ITERS = [1, 2, 3, 4]
+
+
+@pytest.fixture(scope="module")
+def single_device_reference():
+    """Shared 1-device run both parity tests compare against."""
+    return _run_steps(1, PHASE_ITERS)
+
+
+def test_codebook_and_loss_parity_1_vs_8_devices(single_device_reference):
+    phase_iters = PHASE_ITERS
     assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
-    state1, metrics1 = _run_steps(1, phase_iters)
+    state1, metrics1 = single_device_reference
     state8, metrics8 = _run_steps(8, phase_iters)
 
     for m1, m8 in zip(metrics1, metrics8):
@@ -88,11 +97,11 @@ def test_codebook_and_loss_parity_1_vs_8_devices():
     _assert_state_parity(state1, state8)
 
 
-def test_tensor_parallel_parity_2x4_mesh():
+def test_tensor_parallel_parity_2x4_mesh(single_device_reference):
     """data=2 x model=4 mesh: Megatron-style param shardings (attention
     qkv/out, FFN w1/w2, MRF conv1/conv2 pairs) must reproduce the
     single-device step — GSPMD collectives change only reduction layout."""
-    phase_iters = [1, 2, 3, 4]
+    phase_iters = PHASE_ITERS
     assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
 
     mesh = make_mesh_2d(2, 4)
@@ -109,7 +118,7 @@ def test_tensor_parallel_parity_2x4_mesh():
     )
     assert n_model_sharded > 0, "no parameter was tensor-parallel sharded"
 
-    state1, metrics1 = _run_steps(1, phase_iters)
+    state1, metrics1 = single_device_reference
     state_tp, metrics_tp = _run_steps(None, phase_iters, mesh=mesh)
     for m1, mt in zip(metrics1, metrics_tp):
         for k in m1:
