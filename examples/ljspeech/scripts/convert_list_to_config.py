@@ -26,6 +26,10 @@ def main():
                    help="feat=template with {} placeholder (file reference)")
     p.add_argument("--book", action="append", default=[],
                    help="feat=bookfile ('id|payload' lines; payload inlined)")
+    p.add_argument("--const", action="append", default=[],
+                   help="feat=value added verbatim to every case (e.g. a "
+                        "shared reference wav, qs-tts gen_testlists.py's "
+                        "ref= field)")
     args = p.parse_args()
 
     with open(args.ids) as f:
@@ -51,6 +55,9 @@ def main():
         for feat, entries in books.items():
             if uid in entries:
                 case[feat] = entries[uid]
+        for spec in args.const:
+            feat, value = spec.split("=", 1)
+            case[feat] = value
         if case:
             out[uid] = case
 
