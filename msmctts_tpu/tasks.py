@@ -283,7 +283,14 @@ class MSMCTTS(BaseTask):
         frame TOTALS cross to the host (one [B]-int transfer) to pick the
         static frame bucket; the duration tensor itself stays on device for
         phase 2. Codebooks are uploaded once and cached (D2H/H2D transfers
-        carry a high fixed latency on remote-attached TPUs)."""
+        carry a high fixed latency on remote-attached TPUs).
+
+        If the batch carries ``dur`` (frame counts per symbol, e.g. from a
+        testlist entry ``dur: "12 7 9 ..."``), phase 1 is skipped and the
+        given durations drive the expansion — forced-duration synthesis for
+        objective eval (evaluate_mcd.py aligns frames by truncation, so
+        ground-truth durations make TTS output comparable to the reference
+        audio)."""
         predictor = self.networks["predictor"]
         ae = self.networks["autoencoder"]
         pvars = self.variables["predictor"]
@@ -299,24 +306,32 @@ class MSMCTTS(BaseTask):
         text_length = jnp.asarray(batch["text_length"])
         Lt = int(text.shape[1])
 
-        # Phase 1: predicted durations (per text bucket).
-        dur_fn = self._jit_cache.get(("dur", Lt))
-        if dur_fn is None:
-            @jax.jit
-            def dur_fn(v, text, text_length):
-                dur = predictor.apply(
-                    v, text, text_length, method="predict_durations"
-                )
-                dur = jnp.round(jnp.maximum(dur, 0.0))
-                Lt_ = dur.shape[1]
-                mask = jnp.arange(Lt_)[None, :] < text_length[:, None]
-                dur = dur * mask
-                return dur, jnp.sum(dur, axis=1).astype(jnp.int32)
+        if "dur" in batch:
+            # Forced durations (frames): totals are host values already.
+            given = np.asarray(batch["dur"], np.float32)
+            mask = np.arange(given.shape[1])[None, :] < np.asarray(batch["text_length"])[:, None]
+            given = np.round(np.maximum(given, 0.0)) * mask
+            durations_dev = jnp.asarray(given)
+            total = given.sum(axis=1).astype(np.int64)
+        else:
+            # Phase 1: predicted durations (per text bucket).
+            dur_fn = self._jit_cache.get(("dur", Lt))
+            if dur_fn is None:
+                @jax.jit
+                def dur_fn(v, text, text_length):
+                    dur = predictor.apply(
+                        v, text, text_length, method="predict_durations"
+                    )
+                    dur = jnp.round(jnp.maximum(dur, 0.0))
+                    Lt_ = dur.shape[1]
+                    mask = jnp.arange(Lt_)[None, :] < text_length[:, None]
+                    dur = dur * mask
+                    return dur, jnp.sum(dur, axis=1).astype(jnp.int32)
 
-            self._jit_cache[("dur", Lt)] = dur_fn
+                self._jit_cache[("dur", Lt)] = dur_fn
 
-        durations_dev, total_dev = dur_fn(pvars, text, text_length)
-        total = np.asarray(total_dev).astype(np.int64)  # one small D2H
+            durations_dev, total_dev = dur_fn(pvars, text, text_length)
+            total = np.asarray(total_dev).astype(np.int64)  # one small D2H
         max_frames = bucket_length(
             max(int(total.max()), lcm), FRAME_BUCKETS
         )

@@ -25,10 +25,8 @@ import numpy as np
 
 from msmctts_tpu.config import component_kwargs
 from msmctts_tpu.data.loader import DataLoader
-from msmctts_tpu.parallel.mesh import (
-    pad_batch_to_devices,
-    shard_batch,
-)
+from msmctts_tpu.data.wire import DevicePrefetcher
+from msmctts_tpu.parallel.mesh import pad_batch_to_devices
 from msmctts_tpu.parallel.sharding import mesh_from_config, shard_state
 from msmctts_tpu.registry import get_dataset
 from msmctts_tpu.utils.checkpoint import (
@@ -213,6 +211,20 @@ class BaseTrainer:
         rng = jax.random.PRNGKey(self.seed)
         self.attempt_resume(rng, sample)
 
+        # Batches are wire-encoded (int16 PCM; data/wire.py) and uploaded to
+        # the mesh by a background thread so the H2D transfer overlaps step
+        # N-1's device execution instead of sitting on the loop's critical
+        # path. Steps decode in-jit (decode_batch), so numerics for
+        # PCM-sourced audio are unchanged.
+        feed = DevicePrefetcher(
+            it,
+            self.mesh,
+            self.n_devices,
+            mode=dl_cfg.get("wire_compression", True),
+            depth=int(dl_cfg.get("device_prefetch", 2)),
+            first=sample,
+        )
+
         logger = Logger(self.save_dir, rank=jax.process_index())
         logger.log_config(
             self.config.to_dict() if hasattr(self.config, "to_dict") else dict(self.config)
@@ -223,23 +235,19 @@ class BaseTrainer:
         )
 
         t0 = time.time()
-        batch = sample
         profiling = False
         while self.iteration < stop_at:
             self.iteration += 1
             if profile_dir and self.iteration == profile_start:
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
-            sharded = shard_batch(batch, self.mesh)
+            sharded = next(feed)  # encoded + uploaded in the background
             self.state, metrics = self.train_step(self.state, sharded, self.iteration)
             if profiling and self.iteration >= profile_start + profile_steps - 1:
                 jax.block_until_ready(self.state)
                 jax.profiler.stop_trace()
                 profiling = False
                 logger.text(f"profiler trace written to {profile_dir}")
-            # loader threads prefetch in the background; this next() overlaps
-            # with the async device step
-            batch = pad_batch_to_devices(next(it), self.n_devices)
 
             if self.iteration % log_every == 0:
                 host = (
@@ -259,13 +267,14 @@ class BaseTrainer:
             eval_every = getattr(self, "eval_interval", 0)
             if eval_every and self.iteration % eval_every == 0:
                 try:
-                    self.evaluate(batch, logger, self.iteration)
+                    self.evaluate(sharded, logger, self.iteration)
                 except Exception as e:  # eval must never kill training
                     logger.text(f"evaluate() failed at {self.iteration}: {e}")
 
             if self.iteration % self.iters_per_checkpoint == 0:
                 self.save()
 
+        feed.close()
         self.save()
         logger.close()
         return self.state

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from msmctts_tpu.data.wire import decode_batch
 from msmctts_tpu.parallel.precision import cast_floats
 from msmctts_tpu.registry import register_trainer
 from msmctts_tpu.tasks import load_frozen_autoencoder
@@ -182,6 +183,7 @@ class EmbVQGANTrainer(VQGANTrainer):
 
     def _emb_step_impl(self, state, batch, step, decode, gan):
         """One jitted step; ``decode``/``gan`` are static phase flags."""
+        batch = decode_batch(batch)
         rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
         inputs = {
             k: batch[k]
@@ -446,6 +448,7 @@ class NASynEmbFSTrainer(BaseTrainer):
         return _init(rng, arrays)
 
     def _step_impl(self, state, batch, step):
+        batch = decode_batch(batch)
         rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
         q = jax.lax.stop_gradient(self._analysis(batch))
 

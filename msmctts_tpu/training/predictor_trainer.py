@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from msmctts_tpu.data.wire import decode_batch
 from msmctts_tpu.parallel.precision import cast_floats, compute_dtype
 from msmctts_tpu.registry import register_trainer
 from msmctts_tpu.tasks import load_frozen_autoencoder
@@ -107,6 +108,7 @@ class PredictorTrainer(BaseTrainer):
         return _init(rng, arrays)
 
     def _step_impl(self, state, batch, step):
+        batch = decode_batch(batch)
         rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
         mel = cast_floats(batch["mel"], self.compute_dtype)
         mel_length = batch["mel_length"]

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from msmctts_tpu.data.wire import decode_batch
 from msmctts_tpu.parallel.precision import cast_floats, compute_dtype
 from msmctts_tpu.registry import register_trainer
 from msmctts_tpu.training.base_trainer import BaseTrainer
@@ -249,6 +250,7 @@ class VQGANTrainer(BaseTrainer):
 
     # -------------------------------------------------------------- warmup
     def _warmup_step_impl(self, state, batch, step):
+        batch = decode_batch(batch)
         rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
         mel, mel_length = batch["mel"], batch["mel_length"]
 
@@ -282,6 +284,7 @@ class VQGANTrainer(BaseTrainer):
 
     # ----------------------------------------------------------------- GAN
     def _gan_step_impl(self, state, batch, step):
+        batch = decode_batch(batch)
         rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
         mel, mel_length = batch["mel"], batch["mel_length"]
         wav = batch["wav"]

@@ -159,3 +159,15 @@ def test_tts_inference(corpus, trained_ae, trained_am):
     wav = np.asarray(out["wav"][0])
     assert wav.ndim == 1 and np.isfinite(wav).all()
     assert wav.shape[0] > 0
+
+    # forced durations (frames): phase 1 skipped, output length is exact
+    forced = dict(batch, dur=np.array([[4, 8, 4, 8, 0]], np.float32))
+    out2 = task.infer_step(forced)
+    wav2 = np.asarray(out2["wav"][0])
+    frames = 24
+    ratio = wav2.shape[0] // int(out2["mel_length"][0])
+    assert int(out2["mel_length"][0]) == frames
+    assert wav2.shape[0] == frames * ratio and np.isfinite(wav2).all()
+    assert np.array_equal(
+        np.asarray(out2["duration"][0])[:4], np.array([4, 8, 4, 8], np.float32)
+    )
