@@ -297,6 +297,9 @@ def bench_e2e_infer(args):
     task.variables["autoencoder"] = task._cast(av)
     task._loaded_modules = True
 
+    if args.static_frames is not None:
+        task.static_max_frames = args.static_frames
+
     def make_batch():
         return {
             "text": _rand_text(rng, B, Lt, n_symbols),
@@ -325,6 +328,9 @@ def main():
                         help="benchmark the shipped two-phase inference path")
     parser.add_argument("--vq-pallas", choices=["auto", "on", "off"],
                         default="auto", help="fused Pallas VQ kernel routing")
+    parser.add_argument("--static-frames", type=int, default=None,
+                        help="--e2e-infer: fixed frame bucket, single "
+                        "device round-trip per call (tasks.py latency mode)")
     parser.add_argument("--method", choices=["chained", "loop"],
                         default="chained",
                         help="synth timing: 'chained' runs N iterations "

@@ -54,6 +54,10 @@ def main():
     parser.add_argument("-b", "--batch_size", type=int, default=1)
     parser.add_argument("--debug", action="store_true",
                         help="route batches through task.debug_step")
+    parser.add_argument("--static-frames", type=int, default=None,
+                        help="TTS latency mode: fixed frame bucket, one "
+                             "device round-trip per batch (pays padded "
+                             "synthesis compute; pick ~the corpus max)")
     args = parser.parse_args()
 
     ckpt = load_checkpoint(args.model)
@@ -68,6 +72,8 @@ def main():
 
     task = build_task(config, mode="infer")
     task.load_variables(ckpt["state"])
+    if args.static_frames is not None:
+        task.static_max_frames = args.static_frames
 
     ds_node = config.get("testset", config.dataset)
     test_config = Config(config.to_dict())

@@ -193,6 +193,10 @@ class MSMCTTS(BaseTask):
         self.variables: Dict[str, dict] = {}
         self._loaded_modules = False
         self._jit_cache: Dict = {}
+        # When set (frames), predict() uses one fixed frame bucket and a
+        # single device round-trip instead of the two-phase host bucket
+        # pick (infer.py --static-frames; latency mode for remote TPUs).
+        self.static_max_frames: Optional[int] = None
         from msmctts_tpu.parallel.precision import compute_dtype
 
         self.compute_dtype = compute_dtype(config)
@@ -331,9 +335,19 @@ class MSMCTTS(BaseTask):
                 self._jit_cache[("dur", Lt)] = dur_fn
 
             durations_dev, total_dev = dur_fn(pvars, text, text_length)
-            total = np.asarray(total_dev).astype(np.int64)  # one small D2H
+            if self.static_max_frames is not None:
+                # Single-round-trip mode: the frame bucket is fixed up
+                # front, so NOTHING crosses to the host until the final
+                # (wav, totals) fetch — one D2H instead of two. Worth
+                # multiple seconds per call on remote-attached TPUs; the
+                # cost is synthesis compute padded to the static bucket.
+                total = None
+            else:
+                total = np.asarray(total_dev).astype(np.int64)  # one small D2H
         max_frames = bucket_length(
-            max(int(total.max()), lcm), FRAME_BUCKETS
+            max(int(self.static_max_frames or 0) if total is None
+                else int(total.max()), lcm),
+            FRAME_BUCKETS,
         )
 
         # Phase 2: expansion + decoding + synthesis (text x frame bucket).
@@ -370,8 +384,14 @@ class MSMCTTS(BaseTask):
             codebooks,
             max_frames=max_frames,
         )
-        wav = np.asarray(wav)
-        fine = np.asarray(out["feat"][-1])
+        if total is None:
+            total, wav, fine, durations_dev = jax.device_get(
+                (total_dev, wav, out["feat"][-1], durations_dev)
+            )
+            total = np.minimum(total.astype(np.int64), max_frames)
+        else:
+            wav = np.asarray(wav)
+            fine = np.asarray(out["feat"][-1])
         ratio = wav.shape[1] // fine.shape[1]
         wav_lengths = (total * ratio).astype(np.int64)
         return {

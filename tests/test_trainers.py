@@ -171,3 +171,13 @@ def test_tts_inference(corpus, trained_ae, trained_am):
     assert np.array_equal(
         np.asarray(out2["duration"][0])[:4], np.array([4, 8, 4, 8], np.float32)
     )
+
+    # single-round-trip latency mode (static bucket): same audio as the
+    # dynamic two-phase path, no host bucket pick
+    task.static_max_frames = 64
+    out3 = task.infer_step(batch)
+    task.static_max_frames = None
+    np.testing.assert_allclose(
+        np.asarray(out3["wav"][0]), np.asarray(out["wav"][0]), atol=1e-5
+    )
+    assert np.array_equal(out3["mel_length"], out["mel_length"])
