@@ -553,3 +553,54 @@ def test_multi_stage_predictor_parity(rng):
         for b in range(B):
             L = int(tout["feat_length"][s][b])
             allclose(o_pred[b, :L], t_pred[b, :L], what=f"stage {s} utt {b}")
+
+
+def test_convert_checkpoint_cli_roundtrip(tmp_path):
+    """tools/convert_torch_checkpoint.py transplants a reference-format
+    torch checkpoint ({'model': task_state_dict, 'iteration': N},
+    base_trainer.py:136-142) into a loadable msmctts-tpu snapshot whose
+    trees equal the library converters' output."""
+    import runpy
+    import sys
+
+    import yaml
+
+    from msmctts_tpu.utils.checkpoint import load_checkpoint
+
+    ref, _, variables = _tiny_vqgan_pair()
+    torch_path = str(tmp_path / "model_123")
+    torch.save(
+        {
+            "model": {f"autoencoder.{k}": v for k, v in ref.state_dict().items()},
+            "iteration": 123,
+        },
+        torch_path,
+    )
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({"task": {"_name": "MSMCTTS"}, "id": "conv"}, f)
+    out_path = str(tmp_path / "model_123_tpu")
+
+    argv = sys.argv
+    sys.argv = [
+        "convert_torch_checkpoint",
+        "--torch", torch_path, "--config", cfg_path, "--out", out_path,
+    ]
+    try:
+        runpy.run_path("tools/convert_torch_checkpoint.py", run_name="__main__")
+    finally:
+        sys.argv = argv
+
+    snap = load_checkpoint(out_path)
+    assert snap["iteration"] == 123
+    assert snap["config"]["task"]["_name"] == "MSMCTTS"
+    got, want = snap["state"], variables
+    flat_g = jax.tree_util.tree_leaves_with_path(got["params"]["autoencoder"])
+    flat_w = jax.tree_util.tree_leaves_with_path(want["params"])
+    assert len(flat_g) == len(flat_w) > 0
+    for (pg, g), (pw, w) in zip(flat_g, flat_w):
+        assert pg == pw
+        np.testing.assert_array_equal(g, w)
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, got["codebook"], want["codebook"]
+    )
