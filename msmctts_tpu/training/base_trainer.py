@@ -234,9 +234,29 @@ class BaseTrainer:
             self.iteration + max_steps if max_steps is not None else self.training_steps,
         )
 
+        # Graceful preemption (TPU pods are preemptible in production; the
+        # reference has no equivalent, SURVEY.md 5 "failure detection"):
+        # SIGTERM/SIGINT set a flag, the loop finishes the in-flight step,
+        # saves a resumable checkpoint and returns cleanly. Auto-resume
+        # then continues from the preemption point instead of the last
+        # periodic snapshot.
+        import signal
+
+        preempted = []
+        prev_handlers = {}
+
+        def _on_signal(signum, frame):
+            preempted.append(signum)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:  # non-main thread (tests) — skip installing
+                break
+
         t0 = time.time()
         profiling = False
-        while self.iteration < stop_at:
+        while self.iteration < stop_at and not preempted:
             self.iteration += 1
             if profile_dir and self.iteration == profile_start:
                 jax.profiler.start_trace(profile_dir)
@@ -275,6 +295,13 @@ class BaseTrainer:
                 self.save()
 
         feed.close()
+        if preempted:
+            logger.text(
+                f"signal {preempted[0]} received - checkpointing at "
+                f"iteration {self.iteration} and exiting"
+            )
         self.save()
         logger.close()
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
         return self.state
