@@ -16,8 +16,12 @@ Emitted layout (reference examples/csmsc/scripts/preprocess outputs,
 SURVEY.md 2.11):
   wav/ mel/ train.list valid.list test_ae.yaml
   phone.txt  'uid|id_tone_er ...'   (parse_textgrid.py payload format)
-  dur.txt    'uid|seconds ...'      (exercises the TTSDataset seconds->frames
-                                     rescale with error carry)
+  dur.txt    'uid|frames ...'       (frame units: at 80 frames/s the
+                                     reference's seconds->frames heuristic
+                                     — tts_dataset.py:40, ratio > 100 —
+                                     cannot trigger, so CSMSC-rate books
+                                     must carry frames; sums match each
+                                     utterance's mel exactly)
   test_tts.yaml  id -> {text, dur(frames)}  forced-duration TTS eval list
                  (frame durations sum exactly to the utterance's mel frames
                  so evaluate_mcd.py's truncation alignment is valid)
@@ -140,8 +144,8 @@ def main():
         save_wav(f"{args.out}/wav/{uid}.wav", wav, args.sample_rate)
         text = " ".join("_".join(map(str, lab)) for lab in labels)
         phone_book.append(f"{uid}|{text}")
-        dur_book.append(f"{uid}|" + " ".join(f"{d:.6f}" for d in durs))
         fdurs = frame_durations(durs, frames, args.sample_rate, fs)
+        dur_book.append(f"{uid}|" + " ".join(str(d) for d in fdurs))
         tts_cases[uid] = (text, " ".join(str(d) for d in fdurs))
         ids.append(uid)
 
