@@ -37,8 +37,11 @@ register_dataset = _make_register(DATASETS, "dataset")
 
 def _resolve(table: dict, name: str, kind: str):
     # Import the modules that populate the registries lazily to avoid
-    # circular imports at package-init time.
-    if not table:
+    # circular imports at package-init time. Re-run on any miss, not just
+    # on an empty table: a user importing one component module directly
+    # (e.g. models.predictor) part-fills the table, which must not
+    # suppress registration of the rest.
+    if name not in table:
         _populate()
     if name not in table:
         known = ", ".join(sorted(table))

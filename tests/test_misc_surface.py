@@ -220,3 +220,23 @@ def test_legacy_tts_task_with_vocoder(rng):
     assert len(out["wav"]) == 2
     assert out["wav"][0].shape[0] == 12 * 4
     assert out["wav"][1].shape[0] == 9 * 4
+
+
+def test_registry_populates_after_partial_import():
+    """A direct submodule import part-fills the registry; resolution of the
+    remaining components must still trigger the lazy population (regression:
+    _resolve only populated on an EMPTY table)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import msmctts_tpu.models.predictor\n"
+        "from msmctts_tpu.registry import get_network\n"
+        "assert get_network('MSMCVQGAN') is not None\n"
+        "print('resolved')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "resolved" in out.stdout
