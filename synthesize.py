@@ -27,12 +27,17 @@ def main():
     p.add_argument("-c", "--config", default=None)
     p.add_argument("--text", required=True, help="id_tone_er phone tokens")
     p.add_argument("-o", "--output", default="out.wav")
+    p.add_argument("--static-frames", type=int, default=None,
+                   help="fixed frame bucket, single device round-trip "
+                        "(infer.py's latency mode)")
     args = p.parse_args()
 
     ckpt = load_checkpoint(args.model)
     config = Config(args.config) if args.config else Config(ckpt["config"])
     task = build_task(config, mode="infer")
     task.load_variables(ckpt["state"])
+    if args.static_frames is not None:
+        task.static_max_frames = args.static_frames
 
     tokens = [
         [int(x) for x in tok.split("_")] for tok in args.text.split() if tok
