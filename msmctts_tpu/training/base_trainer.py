@@ -34,6 +34,8 @@ from msmctts_tpu.utils.checkpoint import (
     load_checkpoint,
     merge_states,
     save_checkpoint,
+    save_checkpoint_orbax,
+    wait_for_pending_saves,
 )
 from msmctts_tpu.utils.logger import Logger
 
@@ -153,7 +155,9 @@ class BaseTrainer:
                 subset = filter_state_by_regex(part["state"], pattern)
                 self.state = merge_states(self.state, subset)
         elif path:
-            ckpt = load_checkpoint(path)
+            # target=self.state restores optax NamedTuple states with their
+            # real types under the orbax backend (no-op for pickle)
+            ckpt = load_checkpoint(path, target=self.state)
             self.state = merge_states(self.state, ckpt["state"])
             self.iteration = int(ckpt["iteration"])
         elif pretrain:
@@ -172,7 +176,11 @@ class BaseTrainer:
             return
         path = os.path.join(self.save_dir, f"model_{self.iteration}")
         cfg = self.config.to_dict() if hasattr(self.config, "to_dict") else dict(self.config)
-        save_checkpoint(path, self.state, self.iteration, cfg)
+        if str(self.config.get("checkpoint_backend", "pickle")) == "orbax":
+            # async: the step loop continues while orbax serializes
+            save_checkpoint_orbax(path, self.state, self.iteration, cfg)
+        else:
+            save_checkpoint(path, self.state, self.iteration, cfg)
         # opt-in GC: keep every-N snapshots (reference utils.py:260-270,
         # effectively disabled there; enabled here via config)
         keep = self.config.get("checkpoint_keep_interval")
@@ -295,12 +303,14 @@ class BaseTrainer:
                 self.save()
 
         feed.close()
+        wait_for_pending_saves()  # periodic async snapshots, if any
         if preempted:
             logger.text(
                 f"signal {preempted[0]} received - checkpointing at "
                 f"iteration {self.iteration} and exiting"
             )
         self.save()
+        wait_for_pending_saves()  # durable before exit (preemption path)
         logger.close()
         for sig, h in prev_handlers.items():
             signal.signal(sig, h)

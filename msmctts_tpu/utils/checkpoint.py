@@ -42,7 +42,65 @@ def save_checkpoint(path: str, state_tree, iteration: int, config: dict):
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str) -> dict:
+_ORBAX_ASYNC = None
+
+
+def _orbax_async():
+    """Process-wide AsyncCheckpointer (orbax serializes queued saves)."""
+    global _ORBAX_ASYNC
+    if _ORBAX_ASYNC is None:
+        import orbax.checkpoint as ocp
+
+        _ORBAX_ASYNC = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ORBAX_ASYNC
+
+
+def save_checkpoint_orbax(path: str, state_tree, iteration: int, config: dict):
+    """Orbax-backed snapshot (``checkpoint_backend: orbax``): ``path`` is a
+    DIRECTORY with a small ``meta.pkl`` (iteration + embedded config — the
+    reference's self-describing property) and the state under ``state/``
+    written by an ASYNC orbax checkpointer, so the train loop is not
+    stalled by serialization. On multi-host/sharded state orbax writes
+    per-shard without gathering to host 0 (the pickle backend gathers).
+    ``load_checkpoint`` reads either backend transparently."""
+    path = os.path.abspath(path)
+    os.makedirs(path + ".tmp", exist_ok=True)
+    with open(os.path.join(path + ".tmp", "meta.pkl"), "wb") as f:
+        pickle.dump(
+            {"iteration": int(iteration), "config": config,
+             "format": "msmctts_tpu/orbax-v1"},
+            f, protocol=4,
+        )
+    os.replace(path + ".tmp", path)  # meta visible only when complete
+    _orbax_async().save(
+        os.path.join(path, "state"), state_tree, force=True
+    )
+
+
+def wait_for_pending_saves():
+    """Block until queued async (orbax) snapshot writes are durable — call
+    before process exit (preemption path) or before reading a snapshot
+    that may still be in flight."""
+    if _ORBAX_ASYNC is not None:
+        _ORBAX_ASYNC.wait_until_finished()
+
+
+def load_checkpoint(path: str, target=None) -> dict:
+    """Read a snapshot of either backend. ``target`` (optional, orbax
+    only): a structurally-matching pytree template — needed to restore
+    non-dict containers (optax NamedTuple states) with their real types;
+    without it orbax yields plain nested dicts (fine for params-only
+    consumers like infer)."""
+    if os.path.isdir(path):  # orbax backend layout
+        wait_for_pending_saves()
+        with open(os.path.join(path, "meta.pkl"), "rb") as f:
+            payload = pickle.load(f)
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            state_dir = os.path.join(path, "state")
+            payload["state"] = ckptr.restore(state_dir, target)
+        return payload
     with open(path, "rb") as f:
         return pickle.load(f)
 
@@ -52,13 +110,24 @@ def checkpoint_step(path: str) -> int:
     return int(m.group(1)) if m else -1
 
 
+def _is_complete_snapshot(path: str) -> bool:
+    if not os.path.isdir(path):
+        return True  # pickle file (written atomically via rename)
+    # orbax layout: a crash between the meta rename and the async state
+    # commit leaves meta.pkl without a state/ dir — not loadable, skip
+    return os.path.isfile(os.path.join(path, "meta.pkl")) and os.path.isdir(
+        os.path.join(path, "state")
+    )
+
+
 def find_latest_checkpoint(save_dir: str) -> Optional[str]:
     if not os.path.isdir(save_dir):
         return None
     cands = [
-        os.path.join(save_dir, f)
+        p
         for f in os.listdir(save_dir)
         if f.startswith(CKPT_PREFIX) and not f.endswith(".tmp")
+        and _is_complete_snapshot(p := os.path.join(save_dir, f))
     ]
     if not cands:
         return None
@@ -82,7 +151,12 @@ def clean_checkpoint_directory(save_dir: str, interval: int, keep_last: int = 2)
     for path in cands[:-keep_last]:
         step = checkpoint_step(path)
         if interval > 0 and step % interval != 0:
-            os.remove(path)
+            if os.path.isdir(path):  # orbax snapshot directory
+                import shutil
+
+                shutil.rmtree(path)
+            else:
+                os.remove(path)
 
 
 def filter_state_by_regex(state: dict, pattern: str) -> dict:
