@@ -69,3 +69,36 @@ def test_gc_removes_orbax_directories(tmp_path):
     clean_checkpoint_directory(d, interval=20, keep_last=1)
     left = sorted(f for f in os.listdir(d) if f.startswith("model_"))
     assert left == ["model_20", "model_40", "model_50"], left
+
+
+def test_orbax_sharded_state_roundtrip(tmp_path):
+    """Mesh-sharded arrays save/restore through the orbax backend with
+    their values intact (the multi-host per-shard write path,
+    exercised on the virtual 8-device mesh)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from msmctts_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    n = len(jax.devices())
+    tree = {
+        "params": {
+            "w": jax.device_put(
+                np.arange(n * 4, dtype=np.float32).reshape(n, 4),
+                NamedSharding(mesh, P("data")),
+            ),
+            "b": jax.device_put(
+                np.full((3,), 2.5, np.float32), NamedSharding(mesh, P())
+            ),
+        }
+    }
+    path = os.path.join(str(tmp_path), "model_7")
+    save_checkpoint_orbax(path, tree, 7, {"id": "sharded"})
+    wait_for_pending_saves()
+    snap = load_checkpoint(path, target=tree)
+    np.testing.assert_array_equal(np.asarray(snap["state"]["params"]["w"]),
+                                  np.asarray(tree["params"]["w"]))
+    np.testing.assert_array_equal(np.asarray(snap["state"]["params"]["b"]),
+                                  np.asarray(tree["params"]["b"]))
+    assert snap["iteration"] == 7
