@@ -28,7 +28,9 @@ executions with identical input buffers (CLAUDE.md).
 
 import argparse
 import json
+import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -87,22 +89,30 @@ def bench_synth(args):
     B, Lt, T = 16, 128, 512  # 16 utterances x 6.4 s each
     rng = np.random.default_rng(0)
     n_symbols = list(am_node["n_symbols"])
-    text = jnp.asarray(_rand_text(rng, B, Lt, n_symbols))
-    text_length = jnp.full((B,), Lt, jnp.int32)
-    dur = jnp.full((B, Lt), T // Lt, jnp.float32)
+    # init example inputs stay NUMPY: values closed over by a jitted init
+    # become trace constants, and a *device-resident* constant forces a D2H
+    # fetch mid-trace (this killed the round-2 bench gate through the flaky
+    # remote tunnel); host arrays embed for free.
+    text_np = _rand_text(rng, B, Lt, n_symbols)
+    tl_np = np.full((B,), Lt, np.int32)
+    dur_np = np.full((B, Lt), T // Lt, np.float32)
+    text = jnp.asarray(text_np)
+    text_length = jnp.asarray(tl_np)
+    dur = jnp.asarray(dur_np)
 
     k = jax.random.PRNGKey(0)
     # jitted init: one compiled program instead of per-parameter dispatches
     pvars = jax.jit(
         lambda k: predictor.init(
-            {"params": k, "dropout": k}, text, text_length, dur=dur,
+            {"params": k, "dropout": k}, text_np, tl_np, dur=dur_np,
             max_frames=T, deterministic=True,
         )
     )(k)
-    mel = jnp.zeros((2, 16, 80), jnp.float32)
+    mel_np = np.zeros((2, 16, 80), np.float32)
+    mel_len_np = np.asarray([16, 16], np.int32)
     avars = jax.jit(
         lambda k: ae.init(
-            {"params": k, "dropout": k}, mel, jnp.asarray([16, 16]),
+            {"params": k, "dropout": k}, mel_np, mel_len_np,
             warmup=False, deterministic=True,
         )
     )(k)
@@ -251,7 +261,6 @@ def bench_train_step(args):
 
 def bench_e2e_infer(args):
     import jax
-    import jax.numpy as jnp
 
     from msmctts_tpu.config import Config, component_kwargs, load_yaml
     from msmctts_tpu.models.predictor import MultiStagePredictor
@@ -267,34 +276,39 @@ def bench_e2e_infer(args):
     B, Lt = args.batch, 128
     rng = np.random.default_rng(0)
     n_symbols = list(config.task["predictor"]["n_symbols"])
-    text = jnp.asarray(_rand_text(rng, B, Lt, n_symbols))
-    text_length = jnp.full((B,), Lt, jnp.int32)
+    # numpy init examples: device constants in a trace force mid-trace D2H
+    text_np = _rand_text(rng, B, Lt, n_symbols)
+    tl_np = np.full((B,), Lt, np.int32)
+    dur_np = np.full((B, Lt), 4.0, np.float32)
     k = jax.random.PRNGKey(0)
     pvars = jax.jit(
         lambda k: predictor.init(
-            {"params": k, "dropout": k}, text, text_length,
-            dur=jnp.full((B, Lt), 4.0, jnp.float32), max_frames=512,
+            {"params": k, "dropout": k}, text_np, tl_np,
+            dur=dur_np, max_frames=512,
             deterministic=True,
         )
     )(k)
-    mel = jnp.zeros((2, 16, 80), jnp.float32)
+    mel_np = np.zeros((2, 16, 80), np.float32)
+    mel_len_np = np.asarray([16, 16], np.int32)
     avars = jax.jit(
         lambda k: ae.init(
-            {"params": k, "dropout": k}, mel, jnp.asarray([16, 16]),
+            {"params": k, "dropout": k}, mel_np, mel_len_np,
             warmup=False, deterministic=True,
         )
     )(k)
     # random weights predict ~0 durations; bias the duration head to ~4
     # frames/phone so the benched path carries a realistic frame load
-    pvars = jax.device_get(pvars)
-    pvars["params"]["upsampler"]["DurationPredictor_0"]["Dense_0"]["bias"] = (
-        np.asarray([4.0], np.float32)
+    pparams = MultiStagePredictor.bias_durations(
+        jax.device_get(pvars)["params"], 4.0
     )
 
     task.networks["autoencoder"] = ae
-    task.variables = {"predictor": task._cast({"params": pvars["params"]})}
-    av = {"params": avars["params"], "codebook": avars["codebook"]}
-    task.variables["autoencoder"] = task._cast(av)
+    task.load_variables(
+        {
+            "params": {"predictor": pparams, "autoencoder": avars["params"]},
+            "codebook": avars["codebook"],
+        }
+    )
     task._loaded_modules = True
 
     if args.static_frames is not None:
@@ -343,11 +357,43 @@ def main():
                         help="mel frames per utterance (--train-step)")
     args = parser.parse_args()
     if args.train_step:
-        bench_train_step(args)
+        fn, metric, unit = bench_train_step, "train_step_throughput", "steps_per_sec"
     elif args.e2e_infer:
-        bench_e2e_infer(args)
+        fn, metric, unit = bench_e2e_infer, "e2e_infer_throughput", "x_realtime_per_chip"
     else:
-        bench_synth(args)
+        fn, metric, unit = bench_synth, "e2e_tts_throughput", "x_realtime_per_chip"
+
+    # The driver parses stdout blind: ALWAYS end with one JSON line. Remote
+    # TPU backends throw transient FailedPrecondition/Unavailable errors
+    # (the round-2 gate died on one mid-trace) — retry the whole mode once
+    # before reporting the failure as a parseable error object.
+    last_err = None
+    for attempt in range(2):
+        try:
+            fn(args)
+            return
+        except Exception as e:  # noqa: BLE001 — anything must yield JSON
+            last_err = e
+            traceback.print_exc(file=sys.stderr)
+            if attempt == 0:
+                print(
+                    f"bench: attempt {attempt + 1} failed "
+                    f"({type(e).__name__}); retrying",
+                    file=sys.stderr,
+                )
+                time.sleep(10.0)
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": None,
+                "unit": unit,
+                "vs_baseline": None,
+                "error": f"{type(last_err).__name__}: {last_err}",
+            }
+        )
+    )
+    sys.exit(1)
 
 
 if __name__ == "__main__":

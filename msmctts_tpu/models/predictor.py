@@ -166,6 +166,31 @@ class MultiStagePredictor(nn.Module):
             duration=duration,
         )
 
+    @staticmethod
+    def bias_durations(params, frames_per_symbol: float):
+        """Return a copy of ``params`` with the duration head's output bias
+        set to ``frames_per_symbol`` — smoke/bench tooling: a freshly
+        initialized predictor emits ~0 durations, so synthetic-throughput
+        runs would carry no frame load. Located structurally (the unique
+        scalar-bias leaf under the DurationPredictor) so module renames
+        elsewhere in the tree cannot silently break callers."""
+        import flax
+        import numpy as np
+
+        flat = flax.traverse_util.flatten_dict(params)
+        hits = [
+            k
+            for k, v in flat.items()
+            if any("DurationPredictor" in str(p) for p in k)
+            and k[-1] == "bias"
+            and getattr(v, "shape", None) == (1,)
+        ]
+        if len(hits) != 1:
+            raise ValueError(f"duration-head bias not uniquely found: {hits}")
+        flat = dict(flat)
+        flat[hits[0]] = np.asarray([float(frames_per_symbol)], np.float32)
+        return flax.traverse_util.unflatten_dict(flat)
+
     def predict_durations(self, text, text_length):
         """Phase-1 inference: raw (clamped) per-phone duration predictions.
 
