@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 import pickle
 import re
+import shutil
 from typing import Optional
 
 import jax
@@ -64,14 +65,27 @@ def save_checkpoint_orbax(path: str, state_tree, iteration: int, config: dict):
     per-shard without gathering to host 0 (the pickle backend gathers).
     ``load_checkpoint`` reads either backend transparently."""
     path = os.path.abspath(path)
-    os.makedirs(path + ".tmp", exist_ok=True)
-    with open(os.path.join(path + ".tmp", "meta.pkl"), "wb") as f:
+    tmp = path + ".tmp"
+    if os.path.isdir(tmp):  # stale tmp from a crashed save
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "meta.pkl"), "wb") as f:
         pickle.dump(
             {"iteration": int(iteration), "config": config,
              "format": "msmctts_tpu/orbax-v1"},
             f, protocol=4,
         )
-    os.replace(path + ".tmp", path)  # meta visible only when complete
+    if os.path.exists(path):
+        # Re-save to an existing snapshot path (e.g. relaunching a completed
+        # run, whose final save targets the same iteration): os.replace
+        # cannot overwrite a non-empty directory, and an in-flight async
+        # write into it must land before it is removed.
+        wait_for_pending_saves()
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        else:
+            os.remove(path)
+    os.replace(tmp, path)  # meta visible only when complete
     _orbax_async().save(
         os.path.join(path, "state"), state_tree, force=True
     )

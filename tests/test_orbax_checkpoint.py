@@ -71,6 +71,26 @@ def test_gc_removes_orbax_directories(tmp_path):
     assert left == ["model_20", "model_40", "model_50"], left
 
 
+def test_orbax_resave_same_path(tmp_path):
+    """Re-saving to an existing snapshot path must overwrite, not crash
+    with ENOTEMPTY — the trainer's unconditional final save targets the
+    same path when the last step is a checkpoint multiple, and relaunching
+    a completed run under a restart-on-crash supervisor re-saves at
+    stop_at every restart (ADVICE r2, high)."""
+    d = str(tmp_path)
+    path = os.path.join(d, "model_300")
+    save_checkpoint_orbax(path, _tree(), 300, {"id": "first"})
+    tree2 = _tree()
+    tree2["codebook"]["embed"][:] = 7.0
+    save_checkpoint_orbax(path, tree2, 300, {"id": "second"})
+    wait_for_pending_saves()
+    snap = load_checkpoint(path)
+    assert snap["config"]["id"] == "second"
+    np.testing.assert_array_equal(
+        snap["state"]["codebook"]["embed"], np.full((2, 4), 7.0, np.float32)
+    )
+
+
 def test_orbax_sharded_state_roundtrip(tmp_path):
     """Mesh-sharded arrays save/restore through the orbax backend with
     their values intact (the multi-host per-shard write path,
