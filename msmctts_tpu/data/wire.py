@@ -60,13 +60,16 @@ def encode_batch(batch: dict, mode) -> dict:
 
 def decode_batch(batch: dict) -> dict:
     """In-jit inverse of ``encode_batch`` (a no-op on unencoded batches).
-    int16 leaves are dequantized waveforms; bfloat16 leaves are widened."""
+
+    Keyed on the SAME (key, dtype) pairs ``encode_batch`` produces — never
+    on dtype alone, so a future feature natively carried as int16/bfloat16
+    (e.g. compact token ids) cannot be silently rescaled."""
     out = {}
     for k, v in batch.items():
         if hasattr(v, "dtype"):
-            if v.dtype == jnp.int16:
+            if k == "wav" and v.dtype == jnp.int16:
                 v = v.astype(jnp.float32) / _WAV_SCALE
-            elif v.dtype == jnp.bfloat16:
+            elif k in _FULL_KEYS and v.dtype == jnp.bfloat16:
                 v = v.astype(jnp.float32)
         out[k] = v
     return out

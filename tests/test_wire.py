@@ -46,6 +46,20 @@ def test_full_mode_bf16_features():
     np.testing.assert_array_equal(np.asarray(dec["mel_length"]), enc["mel_length"])
 
 
+def test_decode_keyed_not_dtype_keyed():
+    """Decoding is keyed on the (key, dtype) pairs encode_batch produces:
+    a native int16/bfloat16 feature under any other key passes through
+    untouched (ADVICE r2: dtype-alone keying would rescale token ids)."""
+    tokens = np.arange(12, dtype=np.int16).reshape(3, 4)
+    flags = np.ones((3,), np.float32).astype(jax.numpy.bfloat16)
+    dec = decode_batch(
+        {"tokens": jax.numpy.asarray(tokens), "flags": jax.numpy.asarray(flags)}
+    )
+    assert dec["tokens"].dtype == jax.numpy.int16
+    np.testing.assert_array_equal(np.asarray(dec["tokens"]), tokens)
+    assert dec["flags"].dtype == jax.numpy.bfloat16
+
+
 def test_gan_step_invariant_under_wire(tmp_path):
     """A GAN train step on a wire-encoded batch equals the raw-batch step
     exactly when the waveform is PCM-sourced (wavs here are written/read as
