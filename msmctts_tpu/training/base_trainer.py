@@ -25,7 +25,7 @@ import numpy as np
 
 from msmctts_tpu.config import component_kwargs
 from msmctts_tpu.data.loader import DataLoader
-from msmctts_tpu.data.wire import DevicePrefetcher
+from msmctts_tpu.data.wire import DevicePrefetcher, decode_batch
 from msmctts_tpu.parallel.mesh import pad_batch_to_devices
 from msmctts_tpu.parallel.sharding import mesh_from_config, shard_state
 from msmctts_tpu.registry import get_dataset
@@ -174,6 +174,7 @@ class BaseTrainer:
     def save(self):
         if jax.process_index() != 0:
             return
+        self._last_saved_iteration = self.iteration
         path = os.path.join(self.save_dir, f"model_{self.iteration}")
         cfg = self.config.to_dict() if hasattr(self.config, "to_dict") else dict(self.config)
         if str(self.config.get("checkpoint_backend", "pickle")) == "orbax":
@@ -264,54 +265,65 @@ class BaseTrainer:
 
         t0 = time.time()
         profiling = False
-        while self.iteration < stop_at and not preempted:
-            self.iteration += 1
-            if profile_dir and self.iteration == profile_start:
-                jax.profiler.start_trace(profile_dir)
-                profiling = True
-            sharded = next(feed)  # encoded + uploaded in the background
-            self.state, metrics = self.train_step(self.state, sharded, self.iteration)
-            if profiling and self.iteration >= profile_start + profile_steps - 1:
-                jax.block_until_ready(self.state)
-                jax.profiler.stop_trace()
-                profiling = False
-                logger.text(f"profiler trace written to {profile_dir}")
-
-            if self.iteration % log_every == 0:
-                host = (
-                    metrics.to_host()
-                    if hasattr(metrics, "to_host")
-                    else {k: float(v) for k, v in metrics.items()}
+        self._last_saved_iteration = None
+        # evaluate() consumes host-semantics features (float wav/mel), not
+        # wire-encoded leaves — decode on device in one compiled program
+        decode = jax.jit(decode_batch)
+        try:
+            while self.iteration < stop_at and not preempted:
+                self.iteration += 1
+                if profile_dir and self.iteration == profile_start:
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
+                sharded = next(feed)  # encoded + uploaded in the background
+                self.state, metrics = self.train_step(
+                    self.state, sharded, self.iteration
                 )
-                dt = (time.time() - t0) / log_every
-                host["steps_per_sec"] = 1.0 / max(dt, 1e-9)
-                logger.log(self.iteration, {"loss": host})
+                if profiling and self.iteration >= profile_start + profile_steps - 1:
+                    jax.block_until_ready(self.state)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.text(f"profiler trace written to {profile_dir}")
+
+                if self.iteration % log_every == 0:
+                    host = (
+                        metrics.to_host()
+                        if hasattr(metrics, "to_host")
+                        else {k: float(v) for k, v in metrics.items()}
+                    )
+                    dt = (time.time() - t0) / log_every
+                    host["steps_per_sec"] = 1.0 / max(dt, 1e-9)
+                    logger.log(self.iteration, {"loss": host})
+                    logger.text(
+                        f"step {self.iteration} "
+                        + " ".join(f"{k}={v:.4f}" for k, v in host.items())
+                    )
+                    t0 = time.time()
+
+                eval_every = getattr(self, "eval_interval", 0)
+                if eval_every and self.iteration % eval_every == 0:
+                    try:
+                        self.evaluate(decode(sharded), logger, self.iteration)
+                    except Exception as e:  # eval must never kill training
+                        logger.text(f"evaluate() failed at {self.iteration}: {e}")
+
+                if self.iteration % self.iters_per_checkpoint == 0:
+                    self.save()
+
+            if preempted:
                 logger.text(
-                    f"step {self.iteration} "
-                    + " ".join(f"{k}={v:.4f}" for k, v in host.items())
+                    f"signal {preempted[0]} received - checkpointing at "
+                    f"iteration {self.iteration} and exiting"
                 )
-                t0 = time.time()
-
-            eval_every = getattr(self, "eval_interval", 0)
-            if eval_every and self.iteration % eval_every == 0:
-                try:
-                    self.evaluate(sharded, logger, self.iteration)
-                except Exception as e:  # eval must never kill training
-                    logger.text(f"evaluate() failed at {self.iteration}: {e}")
-
-            if self.iteration % self.iters_per_checkpoint == 0:
-                self.save()
-
-        feed.close()
-        wait_for_pending_saves()  # periodic async snapshots, if any
-        if preempted:
-            logger.text(
-                f"signal {preempted[0]} received - checkpointing at "
-                f"iteration {self.iteration} and exiting"
-            )
-        self.save()
-        wait_for_pending_saves()  # durable before exit (preemption path)
-        logger.close()
-        for sig, h in prev_handlers.items():
-            signal.signal(sig, h)
+            if self._last_saved_iteration != self.iteration:
+                self.save()  # final/preemption snapshot (skip if just saved)
+        finally:
+            # An exception mid-step must still release the feed thread,
+            # restore the process-wide signal handlers, flush the logger,
+            # and make any in-flight async orbax snapshot durable.
+            feed.close()
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
+            wait_for_pending_saves()
+            logger.close()
         return self.state
