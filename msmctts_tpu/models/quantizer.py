@@ -212,18 +212,17 @@ class EMAQuantizer(nn.Module):
     def quantize(self, x):
         """Snap embeddings to nearest codewords without statistics — the
         inference path used by predictor snapping and ``synthesis``
-        (msmc_vqgan.py:372-398)."""
+        (msmc_vqgan.py:372-398). Uses the stats-free kernel entry: no EMA
+        counts/sums are computed (or psum'd) on this hot TTS path."""
         B, T, D = x.shape
         H, d = self.n_head, self.sub_dim
         embed, _, _ = self._variables()
         xh = x.reshape(B, T, H, d)
         if self._pallas_enabled():
-            from msmctts_tpu.ops.pallas_vq import vq_nearest_stats_sharded
+            from msmctts_tpu.ops.pallas_vq import vq_nearest_sharded
 
             xf32 = jax.lax.stop_gradient(xh.astype(jnp.float32)).reshape(B * T, H, d)
-            idx_f, quant_f, _, _ = vq_nearest_stats_sharded(
-                xf32, embed.value, jnp.zeros((B * T,), jnp.float32)
-            )
+            idx_f, quant_f = vq_nearest_sharded(xf32, embed.value)
             return (
                 quant_f.reshape(B, T, D).astype(x.dtype),
                 idx_f.reshape(B, T, H),

@@ -80,6 +80,42 @@ def test_sharded_op_matches_single_device(rng):
     )
 
 
+def test_snap_kernel_matches_jax_path(rng):
+    """vq_nearest (the stats-free inference entry) and its SPMD wrapper
+    match the unfused path; the sharded form runs with zero collectives."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from msmctts_tpu.ops.pallas_vq import vq_nearest, vq_nearest_sharded
+    from msmctts_tpu.parallel.mesh import make_mesh
+
+    N, H, d, K = 300, 2, 16, 32  # not a tile multiple
+    x = rng.normal(size=(N, H, d)).astype(np.float32)
+    embed = rng.normal(size=(H, d, K)).astype(np.float32)
+
+    idx, quant = vq_nearest(jnp.asarray(x), jnp.asarray(embed), interpret=True)
+    ref_idx, _ = nearest_codes(jnp.asarray(x), jnp.asarray(embed))
+    ref_quant = lookup_codes(ref_idx, jnp.asarray(embed))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(
+        np.asarray(quant), np.asarray(ref_quant), rtol=1e-5, atol=1e-6
+    )
+
+    N8 = 512
+    x8 = rng.normal(size=(N8, H, d)).astype(np.float32)
+    mesh = make_mesh(8)
+    xs = jax.device_put(x8, NamedSharding(mesh, P("data")))
+    es = jax.device_put(embed, NamedSharding(mesh, P()))
+    sharded_fn = jax.jit(vq_nearest_sharded)
+    idx8, quant8 = sharded_fn(xs, es)
+    g_idx, g_quant = vq_nearest(jnp.asarray(x8), jnp.asarray(embed), interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx8), np.asarray(g_idx))
+    np.testing.assert_allclose(np.asarray(quant8), np.asarray(g_quant), rtol=1e-6)
+    # truly stats-free: the partitioned program contains no collectives
+    hlo = sharded_fn.lower(xs, es).compile().as_text()
+    assert "all-reduce" not in hlo, "snap path must not psum anything"
+
+
 def test_emaquantizer_pallas_path_matches_xla(rng):
     """EMAQuantizer(use_pallas=True) — the production routing — produces
     identical indices and matching quant/EMA state to the unfused path."""
