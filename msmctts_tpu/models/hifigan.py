@@ -180,10 +180,15 @@ class DiscriminatorR(nn.Module):
         for i, (feat, stride) in enumerate(plan):
             if i > 0:
                 x = nn.leaky_relu(x, DISC_LRELU)
+                # the reference's LeakyReLU(0.2, inplace=True) mutates the
+                # stored hidden of the PREVIOUS conv, so the fmaps its FM
+                # loss consumes are post-activation (discriminator.py:27-76;
+                # verified by transplant in test_reference_parity) — unlike
+                # DiscriminatorP, whose functional lrelu is out-of-place
+                fmaps.append(x)
             x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
             x = WNConv(feat, (3, 3), strides=stride, name=f"conv_{i}")(x)
-            fmaps.append(x)
-        return x, fmaps[:-1]
+        return x, fmaps
 
 
 class MultiResolutionDiscriminator(nn.Module):

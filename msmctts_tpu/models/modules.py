@@ -17,6 +17,53 @@ import jax.numpy as jnp
 from msmctts_tpu.ops.convs import WNConv
 
 
+class TorchBatchNorm(nn.Module):
+    """``nn.BatchNorm1d(C, eps=1e-5, affine=False)`` semantics over NLC
+    inputs (the quantizer preprocessor's ``norm: True`` surface, reference
+    msmc_vqgan.py:115-123).
+
+    Differences from flax ``nn.BatchNorm`` that matter for parity:
+    running statistics update with torch's momentum convention
+    (``running = (1-m)*running + m*batch``, m=0.1) and the *unbiased*
+    batch variance (Bessel's n/(n-1)), while normalization uses the biased
+    variance — exactly torch's train-mode split. Eval normalizes with the
+    tracked running stats (the reference behavior flax's
+    ``use_running_average=False`` misses). Stats live in the standard
+    'batch_stats' collection and update only when the caller marks it
+    mutable."""
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        C = x.shape[-1]
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
+        )
+        if use_running_average:
+            m, v = mean.value, var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))  # reduce over (B, T)
+            m = jnp.mean(xf, axis=axes)
+            v = jnp.mean(jnp.square(xf - m), axis=axes)  # biased, for norm
+            if self.is_mutable_collection("batch_stats"):
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                bessel = n / max(n - 1, 1)
+                mean.value = (1 - self.momentum) * mean.value + self.momentum * m
+                var.value = (
+                    (1 - self.momentum) * var.value + self.momentum * v * bessel
+                )
+        y = (x.astype(jnp.float32) - m) * jax.lax.rsqrt(v + self.eps)
+        return y.astype(x.dtype)
+
+
 class ResStack(nn.Module):
     """Non-causal gated conv stack with residual/skip split.
 

@@ -181,14 +181,13 @@ class MultiStageQuantizer(nn.Module):
                 )
             self.ups = ups
         if self.norm:
+            # torch-parity BatchNorm1d(affine=False): tracked running stats
+            # used at eval (reference msmc_vqgan.py:115-123); see
+            # models.modules.TorchBatchNorm
+            from msmctts_tpu.models.modules import TorchBatchNorm
+
             self.norms = [
-                nn.BatchNorm(
-                    use_running_average=False,
-                    use_bias=False,
-                    use_scale=False,
-                    name=f"prenorm_{i}",
-                )
-                for i in range(n_stage)
+                TorchBatchNorm(name=f"prenorm_{i}") for i in range(n_stage)
             ]
 
     def _dropout(self, x, deterministic):
@@ -242,7 +241,7 @@ class MultiStageQuantizer(nn.Module):
                 h = jnp.tanh(h)
                 h = self.pres[i][1](h)
                 if self.norm:
-                    h = self.norms[i](h)
+                    h = self.norms[i](h, use_running_average=deterministic)
                 q_input = h
             else:
                 q_input = embedding

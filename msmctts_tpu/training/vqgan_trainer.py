@@ -138,6 +138,9 @@ class VQGANTrainer(BaseTrainer):
                     "discriminator": d_vars["params"],
                 },
                 "codebook": ae_vars["codebook"],
+                # non-trained model state (quantizer norm:True BatchNorm
+                # running stats); empty for every shipped recipe
+                "model_state": {"batch_stats": ae_vars.get("batch_stats", {})},
                 "opt_state": {
                     "autoencoder": self.ae_tx.init(ae_vars["params"]),
                     "discriminator": self.d_tx.init(d_vars["params"]),
@@ -178,7 +181,10 @@ class VQGANTrainer(BaseTrainer):
             }
         return multi_resolution_stft_loss(fake, target, **self.stft_loss_config)
 
-    def _ae_diffable(self, params, codebook, mel, mel_length, rng, warmup, windows):
+    def _ae_diffable(
+        self, params, codebook, mel, mel_length, rng, warmup, windows,
+        batch_stats=None,
+    ):
         """AE forward returning (differentiable outputs, aux).
 
         Under bf16 the params/inputs are cast HERE, inside the function the
@@ -190,11 +196,16 @@ class VQGANTrainer(BaseTrainer):
             kwargs["window_frames"] = self.frame_lengths
         params = cast_floats(params, self.compute_dtype)
         mel = cast_floats(mel, self.compute_dtype)
+        variables = {"params": params, "codebook": codebook}
+        mutable = ["codebook"]
+        if batch_stats:  # quantizer norm:True running stats
+            variables["batch_stats"] = batch_stats
+            mutable.append("batch_stats")
         out, mut = self.ae.apply(
-            {"params": params, "codebook": codebook},
+            variables,
             mel,
             mel_length,
-            mutable=["codebook"],
+            mutable=mutable,
             rngs={"dropout": rng},
             **kwargs,
         )
@@ -207,6 +218,7 @@ class VQGANTrainer(BaseTrainer):
             diffable["fake"] = out["decoder_outputs"][..., 0]
         aux = {
             "codebook": mut["codebook"],
+            "batch_stats": mut.get("batch_stats", {}),
             "encoder_lengths": [jax.lax.stop_gradient(l) for l in out["encoder_lengths"]],
             "prior_metrics": jax.lax.stop_gradient(
                 {k: v for k, v in (out.get("decoder_diffs") or {}).items() if k != "total_loss"}
@@ -254,9 +266,12 @@ class VQGANTrainer(BaseTrainer):
         rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
         mel, mel_length = batch["mel"], batch["mel_length"]
 
+        bs = state.get("model_state", {}).get("batch_stats") or None
+
         def loss_fn(params):
             diffable, aux = self._ae_diffable(
-                params, state["codebook"], mel, mel_length, rng, True, None
+                params, state["codebook"], mel, mel_length, rng, True, None,
+                batch_stats=bs,
             )
             g, metrics = self._base_g_loss(diffable, aux, mel, mel_length)
             return g, (aux, metrics)
@@ -275,6 +290,7 @@ class VQGANTrainer(BaseTrainer):
                 "discriminator": state["params"]["discriminator"],
             },
             "codebook": aux["codebook"],
+            "model_state": {"batch_stats": aux["batch_stats"]},
             "opt_state": {
                 "autoencoder": new_opt,
                 "discriminator": state["opt_state"]["discriminator"],
@@ -309,9 +325,12 @@ class VQGANTrainer(BaseTrainer):
             )(wav, starts)
 
         # One AE forward; residuals saved for the generator backward.
+        bs = state.get("model_state", {}).get("batch_stats") or None
+
         def fwd(params):
             return self._ae_diffable(
-                params, state["codebook"], mel, mel_length, r_drop, False, starts
+                params, state["codebook"], mel, mel_length, r_drop, False, starts,
+                batch_stats=bs,
             )
 
         diffable, ae_vjp, aux = jax.vjp(fwd, state["params"]["autoencoder"], has_aux=True)
@@ -380,6 +399,7 @@ class VQGANTrainer(BaseTrainer):
         new_state = {
             "params": {"autoencoder": new_ae_params, "discriminator": new_d_params},
             "codebook": aux["codebook"],
+            "model_state": {"batch_stats": aux["batch_stats"]},
             "opt_state": {"autoencoder": new_ae_opt, "discriminator": new_d_opt},
         }
         return new_state, self._pack_metrics("gan", metrics)
@@ -393,9 +413,12 @@ class VQGANTrainer(BaseTrainer):
         if logger.writer is None:
             return
         if self._eval_fn is None:
-            def _eval(params, codebook, mel, mel_length):
+            def _eval(params, codebook, batch_stats, mel, mel_length):
+                variables = {"params": params, "codebook": codebook}
+                if batch_stats:  # quantizer norm:True running stats
+                    variables["batch_stats"] = batch_stats
                 out = self.ae.apply(
-                    {"params": params, "codebook": codebook},
+                    variables,
                     mel,
                     mel_length,
                     deterministic=True,
@@ -403,10 +426,15 @@ class VQGANTrainer(BaseTrainer):
                 return out["decoder_outputs"], out.get("mel_outputs")
             self._eval_fn = jax.jit(_eval)
 
-        mel = jnp.asarray(batch["mel"][:1])
-        length = jnp.asarray(batch["mel_length"][:1])
+        # read through the process-local shard: batch leaves are global
+        # jax.Arrays and row 0 is non-addressable on multi-host (mesh.py)
+        from msmctts_tpu.parallel.mesh import host_local_rows
+
+        mel = jnp.asarray(host_local_rows(batch["mel"], 1))
+        length = jnp.asarray(host_local_rows(batch["mel_length"], 1))
         wav, pred_mel = self._eval_fn(
-            self.state["params"]["autoencoder"], self.state["codebook"], mel, length
+            self.state["params"]["autoencoder"], self.state["codebook"],
+            self.state.get("model_state", {}).get("batch_stats", {}), mel, length
         )
         wav = np.asarray(wav)[0, : int(length[0]) * (wav.shape[1] // mel.shape[1]), 0]
         payload = {"audio": {"eval/wav": (wav, self.samplerate)}}

@@ -31,6 +31,27 @@ def _pkg_stub(name: str, path: str):
     return mod
 
 
+def _install_stft_compat():
+    """The reference calls ``torch.stft`` without ``return_complex`` and
+    indexes the old real-view layout (utils/audio.py:399-402); current torch
+    makes that an error. Shim ONLY that omitted-parameter case back to the
+    old behavior — explicit return_complex calls pass through untouched."""
+    import torch
+
+    if getattr(torch.stft, "_msmctts_compat", False):
+        return
+    _orig = torch.stft
+
+    def stft(input, *args, **kwargs):
+        if "return_complex" not in kwargs and not torch.is_complex(input):
+            kwargs["return_complex"] = True
+            return torch.view_as_real(_orig(input, *args, **kwargs))
+        return _orig(input, *args, **kwargs)
+
+    stft._msmctts_compat = True
+    torch.stft = stft
+
+
 def load_reference():
     """Returns a namespace with the reference torch module classes."""
     if REF not in sys.path:
@@ -49,6 +70,17 @@ def load_reference():
         sf_stub = types.ModuleType("soundfile")
         sf_stub.SoundFile = object
         sys.modules["soundfile"] = sf_stub
+    _install_stft_compat()
+    if "librosa" not in sys.modules:
+        # utils/audio.py imports librosa at module scope but the classes
+        # these tests exercise (MelScale, TorchSTFT) never call it
+        lb = types.ModuleType("librosa")
+        lb_util = types.ModuleType("librosa.util")
+        for fn in ("pad_center", "tiny", "normalize"):
+            setattr(lb_util, fn, None)
+        lb.util = lb_util
+        sys.modules["librosa"] = lb
+        sys.modules["librosa.util"] = lb_util
 
     modules = importlib.import_module("msmctts.networks.vqgantts.modules")
     generator = importlib.import_module("msmctts.networks.hifigan.generator")
@@ -62,6 +94,9 @@ def load_reference():
     predictor = importlib.import_module(
         "msmctts.networks.acoustic_models.multi_stage_predictor"
     )
+    discriminator = importlib.import_module(
+        "msmctts.networks.hifigan.discriminator"
+    )
     return types.SimpleNamespace(
         Quantize=modules.Quantize,
         MultiHeadQuantize=modules.MultiHeadQuantize,
@@ -74,4 +109,9 @@ def load_reference():
         MultiStageQuantizer=msmc_vqgan.MultiStageQuantizer,
         PriorPredictor=msmc_vqgan.PriorPredictor,
         MultiStagePredictor=predictor.MultiStagePredictor,
+        DiscriminatorR=discriminator.DiscriminatorR,
+        MultiResolutionDiscriminator=discriminator.MultiResolutionDiscriminator,
+        DiscriminatorP=discriminator.DiscriminatorP,
+        MultiPeriodDiscriminator=discriminator.MultiPeriodDiscriminator,
+        Discriminator=discriminator.Discriminator,
     )

@@ -41,6 +41,8 @@ def convert(sd: dict) -> dict:
         v = tc.msmc_vqgan(sd, "autoencoder")
         state["params"]["autoencoder"] = v["params"]
         state["codebook"] = v["codebook"]
+        if "batch_stats" in v:  # quantizer norm:True running stats
+            state["model_state"] = {"batch_stats": v["batch_stats"]}
     if any(k.startswith("predictor.") for k in sd):
         state["params"]["predictor"] = tc.multi_stage_predictor(sd, "predictor")
     skipped = sorted(
