@@ -3,9 +3,11 @@
 Replaces the reference's torch DataLoader + DistributedSampler
 (datasets/__init__.py:16-34): worker threads parse cases and collate
 static-shape numpy batches; a bounded queue overlaps host-side I/O with the
-device step. For multi-host training each process takes a strided shard of
-the index stream (``shard=(process_index, process_count)``), mirroring the
-DistributedSampler contract.
+device step. For multi-host training each process takes a contiguous block
+of every global batch (``shard=(process_index, process_count)``) — same
+coverage as the DistributedSampler contract, but the concatenation of the
+process shards reproduces the single-process batch order exactly (see
+``_index_stream``).
 """
 
 from __future__ import annotations
@@ -39,20 +41,27 @@ class DataLoader:
         self.epoch = 0
 
     def _index_stream(self) -> Iterator[list]:
+        """Contiguous-block sharding: every global step consumes one
+        world*batch_size slice of the (seed-synchronized) permutation and
+        rank r takes rows [r*B, (r+1)*B). Unlike the DistributedSampler's
+        strided split, the global device array (process shards concatenate
+        in rank order) then has exactly the single-process row order, so a
+        multi-host run is bit-identical to a single-host run with the same
+        global batch (per-row RNG like window starts pairs identically)."""
         rank, world = self.shard
         n = len(self.dataset)
+        gb = self.batch_size * world
         while True:
             indices = list(range(n))
             if self.shuffle:
                 random.Random(self.seed + self.epoch).shuffle(indices)
-            indices = indices[rank::world]
-            for i in range(0, len(indices), self.batch_size):
-                chunk = indices[i : i + self.batch_size]
-                if len(chunk) < self.batch_size:
+            for i in range(0, len(indices), gb):
+                chunk = indices[i : i + gb]
+                if len(chunk) < gb:
                     if self.drop_last:
                         break
-                    chunk = chunk + indices[: self.batch_size - len(chunk)]
-                yield chunk
+                    chunk = chunk + indices[: gb - len(chunk)]
+                yield chunk[rank * self.batch_size : (rank + 1) * self.batch_size]
             self.epoch += 1
 
     def _make_batch(self, idx_chunk):

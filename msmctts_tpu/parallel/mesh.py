@@ -61,6 +61,21 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = DATA_AXIS) -> dict:
     return jax.tree_util.tree_map(put, batch)
 
 
+def host_local_rows(x, n: int = 1) -> np.ndarray:
+    """First ``n`` rows of the PROCESS-LOCAL data of ``x`` (numpy).
+
+    Safe on process-spanning global arrays where ``np.asarray(x[:n])``
+    would raise (non-addressable devices): reads the first addressable
+    shard instead, which under the loader's contiguous-block sharding is
+    the head of this process's block (on process 0: global row 0)."""
+    if hasattr(x, "addressable_data"):
+        shard = np.asarray(x.addressable_data(0))
+        if shard.ndim and shard.shape[0] >= n:
+            return shard[:n]
+        x = shard  # 0-d or shard smaller than n: fall through
+    return np.asarray(x)[:n]
+
+
 def replicate_state(state, mesh: Mesh):
     """Replicate a train-state pytree across the mesh."""
     s = replicated(mesh)

@@ -205,20 +205,43 @@ class BaseTrainer:
         (transformer.py:43-61, SURVEY.md 5)."""
         dl_cfg = self.config.get("dataloader", {})
         dataset = build_dataset_from_config(self.config, training=True)
+        # Config batch_size is GLOBAL (train.py contract); each process
+        # loads its 1/world block of every global batch and pads it to its
+        # LOCAL slice of the data axis (the global array assembled by
+        # shard_batch is then a multiple of the full data-axis size).
+        world = jax.process_count()
         global_batch = int(dl_cfg.get("batch_size", 16))
+        per_process = max(1, global_batch // world)
+        local_data_devices = max(1, self.n_devices // world)
         loader = DataLoader(
             dataset,
-            batch_size=global_batch,
+            batch_size=per_process,
             shuffle=True,
             num_workers=int(dl_cfg.get("num_workers", 4)),
             seed=self.seed,
-            shard=(jax.process_index(), jax.process_count()),
+            shard=(jax.process_index(), world),
         )
 
         it = iter(loader)
-        sample = pad_batch_to_devices(next(it), self.n_devices)
+        sample = pad_batch_to_devices(next(it), local_data_devices)
         rng = jax.random.PRNGKey(self.seed)
-        self.attempt_resume(rng, sample)
+        # init_state's flax init runs a real forward, so data-dependent
+        # state (codebook EMA stats) depends on the init batch. Each
+        # process only holds its block of global batch 0 — gather the full
+        # batch so every process initializes identical state (required by
+        # the replicated device_put in shard_state, and what makes
+        # multi-host init bit-identical to single-host).
+        init_sample = sample
+        if world > 1:
+            from jax.experimental import multihost_utils
+
+            init_sample = jax.tree_util.tree_map(
+                lambda x: np.asarray(
+                    multihost_utils.process_allgather(np.asarray(x), tiled=True)
+                ),
+                sample,
+            )
+        self.attempt_resume(rng, init_sample)
 
         # Batches are wire-encoded (int16 PCM; data/wire.py) and uploaded to
         # the mesh by a background thread so the H2D transfer overlaps step
@@ -228,7 +251,7 @@ class BaseTrainer:
         feed = DevicePrefetcher(
             it,
             self.mesh,
-            self.n_devices,
+            local_data_devices,
             mode=dl_cfg.get("wire_compression", True),
             depth=int(dl_cfg.get("device_prefetch", 2)),
             first=sample,

@@ -152,6 +152,25 @@ def test_loader_sharding_disjoint(corpus):
     assert not (seen[0] & seen[1])  # ranks read disjoint indices
 
 
+def test_loader_sharding_preserves_global_order(corpus):
+    """Contiguous-block sharding: concatenating the rank shards of global
+    step k reproduces the single-process batch k (same rows, same order) —
+    the property that makes a 2-process run bit-identical to the 1-process
+    run (per-row RNG such as GAN window starts pairs identically)."""
+    ds = MelDataset(**_mel_kwargs(corpus))
+    single = DataLoader(ds, batch_size=4, num_workers=0, seed=7)._index_stream()
+    shards = [
+        DataLoader(
+            ds, batch_size=2, num_workers=0, seed=7, shard=(rank, 2)
+        )._index_stream()
+        for rank in (0, 1)
+    ]
+    for _ in range(3):
+        expect = next(single)
+        got = next(shards[0]) + next(shards[1])
+        assert got == expect
+
+
 def test_loader_deterministic(corpus):
     ds = MelDataset(**_mel_kwargs(corpus))
     def first_batches(workers):

@@ -42,9 +42,15 @@ def main():
                     help="ground-truth wav path pattern with {} for the id")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("-o", "--out", default=None)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. 'cpu'); JAX_PLATFORMS "
+                    "is read too early when the interpreter pre-imports jax")
     args = ap.parse_args()
 
-    import jax  # noqa: F401  (platform comes from the environment)
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import torch
 
     from msmctts_tpu.config import Config

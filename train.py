@@ -31,8 +31,16 @@ def main():
                         help="host:port for multi-host jax.distributed init")
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. 'cpu'); needed "
+                        "instead of JAX_PLATFORMS when the interpreter "
+                        "pre-imports jax (see tests/conftest.py)")
     args = parser.parse_args()
 
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.coordinator:
         import jax
 
