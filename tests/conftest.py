@@ -33,6 +33,28 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def _cache_entries() -> int:
+    try:
+        return len(os.listdir(_CACHE_DIR))
+    except OSError:
+        return 0
+
+
+_SESSION_START_ENTRIES = _cache_entries()
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Suite wall-clock is dominated by XLA compiles; report how many were
+    served from the persistent cache so warm-vs-cold discrepancies between
+    runs are diagnosable (new entries == compiles that actually ran)."""
+    end = _cache_entries()
+    new = end - _SESSION_START_ENTRIES
+    terminalreporter.write_line(
+        f"[jax persistent cache] {_CACHE_DIR}: {end} entries "
+        f"({new} compiled this run, {_SESSION_START_ENTRIES} pre-existing)"
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -108,8 +108,11 @@ def main():
         strict=False,
     )
     assert not res.unexpected_keys, res.unexpected_keys
+    # frozen sinusoid tables (transformer.py:104-106 'position.weight' /
+    # 'position_enc') and the reference's never-called stage-0 prior
+    # predictor are not trainable state — everything else must transplant
     bad = [k for k in res.missing_keys
-           if "position_enc" not in k and ".predictor.0." not in k]
+           if "position" not in k and ".predictor.0." not in k]
     assert not bad, f"unconverted reference params: {bad}"
     ref.eval()
 
