@@ -10,7 +10,11 @@ recipe stages are trainable without real data:
 
   * MSMC-VQ-GAN on the wav/mel pairs (analysis-synthesis MCD trend), and
   * the MultiStagePredictor acoustic model on the phone/dur books
-    (text -> waveform TTS MCD with given durations).
+    (text -> waveform TTS MCD with given durations). Durations are
+    phone-conditioned too (per-symbol base x tone stretch x +-10% jitter),
+    so the duration predictor is learnable and held-out sentences
+    transfer — the r2 corpus's fully random durations limited stage-2
+    evaluation to training sentences.
 
 Emitted layout (reference examples/csmsc/scripts/preprocess outputs,
 SURVEY.md 2.11):
@@ -54,6 +58,11 @@ def phone_params(pid: int) -> dict:
         "f0": float(np.exp(rng.uniform(np.log(120.0), np.log(290.0)))),
         "harm": rng.uniform(0.15, 1.0, size=N_HARM) / np.arange(1, N_HARM + 1),
         "amp": float(rng.uniform(0.35, 1.0)),
+        # base duration is a FUNCTION OF THE SYMBOL (+-10% utterance jitter
+        # in `utterance`) so the duration predictor has something learnable
+        # and held-out sentences transfer; fully random per-utterance
+        # durations made the r2 corpus memorization-only for stage 2
+        "dur": float(rng.uniform(0.06, 0.22)),
     }
 
 
@@ -68,15 +77,22 @@ def smooth(x: np.ndarray, sr: int, ms: float = 15.0) -> np.ndarray:
 def utterance(rng, sr: int):
     """-> (wav, labels [(pid, tone, er)], durations_seconds)."""
     n_spoken = int(rng.integers(10, 30))
-    labels, durs = [(SIL_ID, 0, 0)], [float(rng.uniform(0.08, 0.25))]
+    # tone stretches duration slightly (a real-speech-like covariate);
+    # +-10% per-utterance jitter keeps the mapping learnable, not exact
+    tone_dur = {0: 1.0, 1: 1.0, 2: 1.05, 3: 1.12, 4: 0.95, 5: 0.9}
+    sil_dur = 0.95 * phone_params(SIL_ID)["dur"] + 0.08
+    labels = [(SIL_ID, 0, 0)]
+    durs = [sil_dur * float(rng.uniform(0.9, 1.1))]
     for _ in range(n_spoken):
         pid = int(rng.integers(len(UNSPOKEN), len(UNSPOKEN) + len(SPOKEN)))
         tone = int(rng.integers(1, 6))
         er = int(rng.random() < 0.1)
         labels.append((pid, tone, er))
-        durs.append(float(rng.uniform(0.06, 0.22)))
+        durs.append(
+            phone_params(pid)["dur"] * tone_dur[tone] * float(rng.uniform(0.9, 1.1))
+        )
     labels.append((SIL_ID, 0, 0))
-    durs.append(float(rng.uniform(0.08, 0.25)))
+    durs.append(sil_dur * float(rng.uniform(0.9, 1.1)))
 
     n = int(round(sum(durs) * sr))
     f0 = np.zeros(n)

@@ -1,0 +1,105 @@
+"""Int8 serving-path generator: exact tap/phase decomposition of the conv
+ops, and end-to-end closeness of the PTQ generator vs the fp32 flax one on
+the SAME trained params pytree."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msmctts_tpu.models.hifigan import HifiGANGenerator
+from msmctts_tpu.ops.int8_generator import (
+    int8_conv1d,
+    int8_conv_transpose1d,
+    int8_generator_apply,
+    quantize_generator_params,
+)
+
+CFG = dict(
+    upsample_rates=[2, 2],
+    upsample_kernel_sizes=[4, 4],
+    upsample_initial_channel=64,
+    resblock_kernel_sizes=[3, 7],
+    resblock_dilation_sizes=[[1, 3], [1, 3]],
+)
+
+
+def _ref_conv1d(x_f, w_f, padding, dilation=1):
+    return jax.lax.conv_general_dilated(
+        x_f, w_f, window_strides=(1,), padding=[(padding, padding)],
+        rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+
+
+def _ref_conv_transpose1d(x_f, w_f, stride, padding):
+    k = w_f.shape[0]
+    return jax.lax.conv_general_dilated(
+        x_f, jnp.flip(w_f, axis=0), window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding)], lhs_dilation=(stride,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+
+
+def test_int8_conv1d_exact(rng):
+    """int32 tap accumulation is bit-exact vs the float conv on the same
+    integer operands (k/dilation grid covers the generator's conv geometry)."""
+    B, T, Cin, Cout = 2, 37, 8, 12
+    for k, d in [(3, 1), (3, 5), (7, 3), (11, 1)]:
+        xq = rng.integers(-127, 128, size=(B, T, Cin)).astype(np.int8)
+        wq = rng.integers(-127, 128, size=(k, Cin, Cout)).astype(np.int8)
+        got = int8_conv1d(jnp.asarray(xq), jnp.asarray(wq), (k - 1) // 2 * d, d)
+        want = _ref_conv1d(
+            jnp.asarray(xq, jnp.float32), jnp.asarray(wq, jnp.float32),
+            (k - 1) // 2 * d, d,
+        )
+        assert got.dtype == jnp.int32
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want).astype(np.int64))
+
+
+def test_int8_conv_transpose1d_exact(rng):
+    """Phase decomposition matches torch-semantics transposed conv exactly,
+    for every (k, u) pair used by the shipped recipes."""
+    B, T, Cin, Cout = 2, 19, 6, 10
+    for k, u in [(12, 6), (11, 5), (4, 2), (6, 2)]:
+        p = (k - u) // 2
+        xq = rng.integers(-127, 128, size=(B, T, Cin)).astype(np.int8)
+        wq = rng.integers(-127, 128, size=(k, Cin, Cout)).astype(np.int8)
+        got = int8_conv_transpose1d(jnp.asarray(xq), jnp.asarray(wq), u, p)
+        want = _ref_conv_transpose1d(
+            jnp.asarray(xq, jnp.float32), jnp.asarray(wq, jnp.float32), u, p
+        )
+        assert got.shape == (B, T * u, Cout)
+        assert want.shape == (B, T * u, Cout)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want).astype(np.int64))
+
+
+def test_int8_generator_close(rng):
+    """PTQ generator tracks the fp32 one on the same trained params: the
+    only error source is int8 rounding (per-tensor act, per-channel weight),
+    bounded here as relative L2 over the waveform."""
+    g = HifiGANGenerator(num_mels=16, **CFG)
+    x = jnp.asarray(rng.normal(size=(2, 24, 16)).astype(np.float32))
+    v = g.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(g.apply(v, x), np.float32)
+
+    qp = quantize_generator_params(v["params"], CFG)
+    got = np.asarray(
+        int8_generator_apply(qp, x, CFG, dtype=jnp.float32), np.float32
+    )
+    assert got.shape == want.shape
+    rel = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-12)
+    assert rel < 0.05, rel
+    # int8 kernels really are int8
+    assert qp["conv_pre"]["w_q"].dtype == np.int8
+    assert qp["up_0"]["w_q"].dtype == np.int8
+
+
+def test_int8_quantize_scales_per_channel(rng):
+    g = HifiGANGenerator(num_mels=16, **CFG)
+    x = jnp.asarray(rng.normal(size=(1, 8, 16)).astype(np.float32))
+    v = g.init(jax.random.PRNGKey(1), x)
+    qp = quantize_generator_params(v["params"], CFG)
+    node = qp["conv_pre"]
+    assert node["scale"].shape == (node["w_q"].shape[-1],)
+    # scale reconstructs the folded kernel to within one quantization step
+    w_deq = node["w_q"].astype(np.float32) * node["scale"]
+    assert np.all(np.abs(w_deq) <= 127.0 * node["scale"] + 1e-6)
