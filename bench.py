@@ -123,20 +123,52 @@ def bench_synth(args):
     pvars = dict(pvars, params=cast_floats(pvars["params"], dtype))
     avars = dict(avars, params=cast_floats(avars["params"], dtype))
 
-    @jax.jit
-    def tts(pv, av, text, text_length, dur, cbs):
+    i8 = None
+    if args.int8:
+        from msmctts_tpu.ops.int8_generator import Int8Decoder
+
+        i8 = Int8Decoder(avars["params"]["decoder"], dict(ae.decoder_config),
+                         dtype=dtype)
+
+    def synth_wav(pv, av, qp, text, text_length, d, cbs):
         out = predictor.apply(
-            pv, text, text_length, dur=dur, max_frames=T, codebooks=cbs,
+            pv, text, text_length, dur=d, max_frames=T, codebooks=cbs,
             deterministic=True,
         )
-        wav = ae.apply(
+        if i8 is not None:
+            from msmctts_tpu.ops.int8_generator import int8_generator_apply
+
+            feats = ae.apply(
+                av, out["feat"], out["feat_length"],
+                method="synthesis_features", deterministic=True,
+            )
+            return int8_generator_apply(
+                qp, feats, i8.decoder_config, dtype=dtype,
+                act_scales=i8.scales,
+            )
+        return ae.apply(
             av, out["feat"], out["feat_length"], method="synthesis",
             deterministic=True,
         )
-        return wav
+
+    if i8 is not None:
+        feats_fn = jax.jit(
+            lambda pv, av, t, tl, d, cbs: ae.apply(
+                av,
+                *(lambda o: (o["feat"], o["feat_length"]))(
+                    predictor.apply(pv, t, tl, dur=d, max_frames=T,
+                                    codebooks=cbs, deterministic=True)
+                ),
+                method="synthesis_features", deterministic=True,
+            )
+        )
+        i8.calibrate(feats_fn(pvars, avars, text, text_length, dur, codebooks))
+
+    qp = None if i8 is None else i8.qparams
+    tts = jax.jit(synth_wav)
 
     # warmup / compile
-    wav = tts(pvars, avars, text, text_length, dur, codebooks)
+    wav = tts(pvars, avars, qp, text, text_length, dur, codebooks)
     wav.block_until_ready()
     assert wav.shape == (B, T * FRAMESHIFT, 1), wav.shape
     audio_seconds = B * T * FRAMESHIFT / SAMPLE_RATE
@@ -148,7 +180,7 @@ def bench_synth(args):
         jax.block_until_ready(texts)
         t0 = time.perf_counter()
         for i in range(n_runs):
-            wav = tts(pvars, avars, texts[i], text_length, dur, codebooks)
+            wav = tts(pvars, avars, qp, texts[i], text_length, dur, codebooks)
         wav.block_until_ready()
         wall = (time.perf_counter() - t0) / n_runs
     else:
@@ -160,17 +192,10 @@ def bench_synth(args):
         # environment can produce (see CLAUDE.md).
         def make_chained(iters):
             @jax.jit
-            def chained(pv, av, text, text_length, dur, cbs):
+            def chained(pv, av, qp, text, text_length, dur, cbs):
                 def body(carry, _):
                     d, acc = carry
-                    out = predictor.apply(
-                        pv, text, text_length, dur=d, max_frames=T,
-                        codebooks=cbs, deterministic=True,
-                    )
-                    w = ae.apply(
-                        av, out["feat"], out["feat_length"], method="synthesis",
-                        deterministic=True,
-                    )
+                    w = synth_wav(pv, av, qp, text, text_length, d, cbs)
                     s = jnp.sum(w.astype(jnp.float32))
                     return (d + 0.0 * s, acc + s), ()
                 (_, acc), _ = jax.lax.scan(
@@ -188,7 +213,7 @@ def bench_synth(args):
                 t2 = jnp.asarray(_rand_text(rng, B, Lt, n_symbols))
                 t2.block_until_ready()
                 t0 = time.perf_counter()
-                float(fn(pvars, avars, t2, text_length, dur, codebooks))
+                float(fn(pvars, avars, qp, t2, text_length, dur, codebooks))
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 
@@ -313,6 +338,8 @@ def bench_e2e_infer(args):
 
     if args.static_frames is not None:
         task.static_max_frames = args.static_frames
+    if args.int8:
+        task.int8_decoder = True
 
     def make_batch():
         return {
@@ -342,6 +369,10 @@ def main():
                         help="benchmark the shipped two-phase inference path")
     parser.add_argument("--vq-pallas", choices=["auto", "on", "off"],
                         default="auto", help="fused Pallas VQ kernel routing")
+    parser.add_argument("--int8", action="store_true",
+                        help="serve the HiFi-GAN decoder in int8 (PTQ + "
+                        "calibrated static activation scales) — synth and "
+                        "--e2e-infer modes")
     parser.add_argument("--static-frames", type=int, default=None,
                         help="--e2e-infer: fixed frame bucket, single "
                         "device round-trip per call (tasks.py latency mode)")

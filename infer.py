@@ -54,6 +54,10 @@ def main():
     parser.add_argument("-b", "--batch_size", type=int, default=1)
     parser.add_argument("--debug", action="store_true",
                         help="route batches through task.debug_step")
+    parser.add_argument("--int8", action="store_true",
+                        help="serve the HiFi-GAN decoder in int8 (PTQ "
+                             "kernels + first-batch-calibrated activation "
+                             "scales; ~1.2x the bf16 decoder on v5e)")
     parser.add_argument("--static-frames", type=int, default=None,
                         help="TTS latency mode: fixed frame bucket, one "
                              "device round-trip per batch (pays padded "
@@ -74,6 +78,8 @@ def main():
     task.load_variables(ckpt["state"])
     if args.static_frames is not None:
         task.static_max_frames = args.static_frames
+    if args.int8:
+        task.int8_decoder = True
 
     ds_node = config.get("testset", config.dataset)
     test_config = Config(config.to_dict())

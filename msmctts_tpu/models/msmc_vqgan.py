@@ -427,6 +427,15 @@ class MSMCVQGAN(nn.Module):
             out["decoder_outputs"] = self.decoder(decoder_inputs)
         return out
 
+    def encode_features(self, mel, mel_length, deterministic: bool = True):
+        """``__call__``'s analysis-synthesis path up to (excluding) the
+        HiFi-GAN decoder, no window: encoder, quantizer, frame decoder.
+        Serving hook for the int8 decoder (ops/int8_generator.py)."""
+        x = self.in_linear(mel)
+        encoder_states = self.encoder(x, mel_length, deterministic=deterministic)
+        q = self.quantizer(encoder_states, deterministic=deterministic)
+        return self._frame_decode(q["residual_output"], mel_length, deterministic)
+
     def analysis(self, mel, mel_length, deterministic: bool = True):
         """mel -> quantizer states (msmc_vqgan.py:352-370)."""
         x = self.in_linear(mel)
@@ -445,18 +454,29 @@ class MSMCVQGAN(nn.Module):
             )
         return q
 
+    def synthesis_features(
+        self, quantizer_outputs, quantizer_lengths, deterministic: bool = True
+    ):
+        """Everything in ``synthesis`` up to (excluding) the HiFi-GAN
+        decoder: nearest-codeword re-quantization, residual chain, frame
+        decoder. Serving hook: the int8 decoder path
+        (ops/int8_generator.py) consumes these features."""
+        stages = list(zip(quantizer_outputs, quantizer_lengths))
+        q = self.quantizer(stages, from_encoder=False, deterministic=deterministic)
+        decoder_inputs = q["residual_output"]
+        return self._frame_decode(
+            decoder_inputs, quantizer_lengths[-1], deterministic
+        )
+
     def synthesis(self, quantizer_outputs, quantizer_lengths, deterministic: bool = True):
         """Predicted embeddings (coarsest-first) -> waveform
         (msmc_vqgan.py:372-398): re-quantize via nearest codewords, run the
         residual chain, frame decoder, HiFi-GAN."""
-        stages = list(zip(quantizer_outputs, quantizer_lengths))
-        q = self.quantizer(stages, from_encoder=False, deterministic=deterministic)
-        decoder_inputs = q["residual_output"]
-        decoder_inputs = self._frame_decode(
-            decoder_inputs, quantizer_lengths[-1], deterministic
+        return self.decoder(
+            self.synthesis_features(
+                quantizer_outputs, quantizer_lengths, deterministic=deterministic
+            )
         )
-        wav = self.decoder(decoder_inputs)
-        return wav
 
     def compute_embedding_loss(
         self,

@@ -220,6 +220,10 @@ class MSMCTTS(BaseTask):
         # single device round-trip instead of the two-phase host bucket
         # pick (infer.py --static-frames; latency mode for remote TPUs).
         self.static_max_frames: Optional[int] = None
+        # Opt-in int8 HiFi-GAN decoder (infer.py --int8): PTQ kernels +
+        # first-batch-calibrated static activation scales, measured 1.2x
+        # the bf16 decoder on v5e (ops/int8_generator.py).
+        self.int8_decoder: bool = False
         from msmctts_tpu.parallel.precision import compute_dtype
 
         self.compute_dtype = compute_dtype(config)
@@ -291,22 +295,70 @@ class MSMCTTS(BaseTask):
             out["embedding"] = [np.asarray(x) for x in q["quantizer_outputs"]]
         return out
 
+    def _int8(self):
+        """Lazily build the Int8Decoder over the loaded autoencoder's
+        trained decoder params (ops/int8_generator.py)."""
+        i8 = self._jit_cache.get("int8")
+        if i8 is None:
+            from msmctts_tpu.ops.int8_generator import Int8Decoder
+
+            ae = self.networks["autoencoder"]
+            i8 = Int8Decoder(
+                self.variables["autoencoder"]["params"]["decoder"],
+                dict(ae.decoder_config),
+                dtype=self.compute_dtype,
+            )
+            self._jit_cache["int8"] = i8
+        return i8
+
     def analysis_synthesis(self, batch: dict) -> dict:
         """Full AE round trip (msmc_tts.py:129-133)."""
         ae = self.networks["autoencoder"]
         variables = self.variables["autoencoder"]
         T = int(batch["mel"].shape[1])
+        mel = jnp.asarray(batch["mel"])
+        mel_length = jnp.asarray(batch["mel_length"])
 
-        fn = self._jit_cache.get(("ae", T))
-        if fn is None:
-            @jax.jit
-            def fn(v, mel, mel_length):
-                out = ae.apply(v, mel, mel_length, deterministic=True)
-                return out["decoder_outputs"][..., 0]
+        if self.int8_decoder:
+            feat_fn = self._jit_cache.get(("ae_feats", T))
+            if feat_fn is None:
+                feat_fn = jax.jit(
+                    lambda v, m, l: ae.apply(
+                        v, m, l, method="encode_features", deterministic=True
+                    )
+                )
+                self._jit_cache[("ae_feats", T)] = feat_fn
+            i8 = self._int8()
+            if i8.scales is None:  # first-batch calibration
+                i8.calibrate(feat_fn(variables, mel, mel_length))
+            fn = self._jit_cache.get(("ae8", T))
+            if fn is None:
+                from msmctts_tpu.ops.int8_generator import int8_generator_apply
 
-            self._jit_cache[("ae", T)] = fn
+                scales, dec_cfg, dt = i8.scales, i8.decoder_config, i8.dtype
 
-        wav = fn(variables, jnp.asarray(batch["mel"]), jnp.asarray(batch["mel_length"]))
+                @jax.jit
+                def fn(v, qp, m, l):
+                    feats = ae.apply(
+                        v, m, l, method="encode_features", deterministic=True
+                    )
+                    return int8_generator_apply(
+                        qp, feats, dec_cfg, dtype=dt, act_scales=scales
+                    )[..., 0]
+
+                self._jit_cache[("ae8", T)] = fn
+            wav = fn(variables, i8.qparams, mel, mel_length)
+        else:
+            fn = self._jit_cache.get(("ae", T))
+            if fn is None:
+                @jax.jit
+                def fn(v, mel, mel_length):
+                    out = ae.apply(v, mel, mel_length, deterministic=True)
+                    return out["decoder_outputs"][..., 0]
+
+                self._jit_cache[("ae", T)] = fn
+
+            wav = fn(variables, mel, mel_length)
         wav = np.asarray(wav)
         ratio = wav.shape[1] // T
         return {
@@ -385,39 +437,92 @@ class MSMCTTS(BaseTask):
         )
 
         # Phase 2: expansion + decoding + synthesis (text x frame bucket).
-        syn_fn = self._jit_cache.get(("syn", Lt, max_frames))
-        if syn_fn is None:
-            @partial(jax.jit, static_argnames=("max_frames",))
-            def syn_fn(pv, av, text, text_length, dur, cbs, max_frames):
-                out = predictor.apply(
-                    pv,
-                    text,
-                    text_length,
-                    dur=dur,
+        if self.int8_decoder:
+            i8 = self._int8()
+            feat_key = ("syn_feats", Lt, max_frames)
+            if i8.scales is None:  # first-batch calibration
+                feat_fn = self._jit_cache.get(feat_key)
+                if feat_fn is None:
+                    @partial(jax.jit, static_argnames=("max_frames",))
+                    def feat_fn(pv, av, text, text_length, dur, cbs, max_frames):
+                        out = predictor.apply(
+                            pv, text, text_length, dur=dur,
+                            max_frames=max_frames, codebooks=cbs,
+                            deterministic=True,
+                        )
+                        return ae.apply(
+                            av, out["feat"], out["feat_length"],
+                            method="synthesis_features", deterministic=True,
+                        )
+
+                    self._jit_cache[feat_key] = feat_fn
+                i8.calibrate(feat_fn(
+                    pvars, avars, text, text_length,
+                    durations_dev.astype(jnp.float32), codebooks,
                     max_frames=max_frames,
-                    codebooks=cbs,
-                    deterministic=True,
-                )
-                wav = ae.apply(
-                    av,
-                    out["feat"],
-                    out["feat_length"],
-                    method="synthesis",
-                    deterministic=True,
-                )
-                return out, wav[..., 0]
+                ))
+            syn_fn = self._jit_cache.get(("syn8", Lt, max_frames))
+            if syn_fn is None:
+                from msmctts_tpu.ops.int8_generator import int8_generator_apply
 
-            self._jit_cache[("syn", Lt, max_frames)] = syn_fn
+                scales, dec_cfg, dt = i8.scales, i8.decoder_config, i8.dtype
 
-        out, wav = syn_fn(
-            pvars,
-            avars,
-            text,
-            text_length,
-            durations_dev.astype(jnp.float32),
-            codebooks,
-            max_frames=max_frames,
-        )
+                @partial(jax.jit, static_argnames=("max_frames",))
+                def syn_fn(pv, av, qp, text, text_length, dur, cbs, max_frames):
+                    out = predictor.apply(
+                        pv, text, text_length, dur=dur, max_frames=max_frames,
+                        codebooks=cbs, deterministic=True,
+                    )
+                    feats = ae.apply(
+                        av, out["feat"], out["feat_length"],
+                        method="synthesis_features", deterministic=True,
+                    )
+                    wav = int8_generator_apply(
+                        qp, feats, dec_cfg, dtype=dt, act_scales=scales
+                    )
+                    return out, wav[..., 0]
+
+                self._jit_cache[("syn8", Lt, max_frames)] = syn_fn
+
+            out, wav = syn_fn(
+                pvars, avars, i8.qparams, text, text_length,
+                durations_dev.astype(jnp.float32), codebooks,
+                max_frames=max_frames,
+            )
+        else:
+            syn_fn = self._jit_cache.get(("syn", Lt, max_frames))
+            if syn_fn is None:
+                @partial(jax.jit, static_argnames=("max_frames",))
+                def syn_fn(pv, av, text, text_length, dur, cbs, max_frames):
+                    out = predictor.apply(
+                        pv,
+                        text,
+                        text_length,
+                        dur=dur,
+                        max_frames=max_frames,
+                        codebooks=cbs,
+                        deterministic=True,
+                    )
+                    wav = ae.apply(
+                        av,
+                        out["feat"],
+                        out["feat_length"],
+                        method="synthesis",
+                        deterministic=True,
+                    )
+                    return out, wav[..., 0]
+
+                self._jit_cache[("syn", Lt, max_frames)] = syn_fn
+
+            out, wav = syn_fn(
+                pvars,
+                avars,
+                text,
+                text_length,
+                durations_dev.astype(jnp.float32),
+                codebooks,
+                max_frames=max_frames,
+            )
         if total is None:
             total, wav, fine, durations_dev = jax.device_get(
                 (total_dev, wav, out["feat"][-1], durations_dev)

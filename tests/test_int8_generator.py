@@ -93,6 +93,69 @@ def test_int8_generator_close(rng):
     assert qp["up_0"]["w_q"].dtype == np.int8
 
 
+def test_int8_static_scales_match_dynamic(rng):
+    """Calibrated static scales track the dynamic-quant output when
+    calibrated on the same input. Not bit-equal: the static scale is
+    frozen through a float64 division (python float), so individual codes
+    can shift by one quantization step — bounded here as relative L2."""
+    from msmctts_tpu.ops.int8_generator import calibrate_act_scales
+
+    g = HifiGANGenerator(num_mels=16, **CFG)
+    x = jnp.asarray(rng.normal(size=(2, 24, 16)).astype(np.float32))
+    v = g.init(jax.random.PRNGKey(0), x)
+    qp = quantize_generator_params(v["params"], CFG)
+
+    dyn = np.asarray(int8_generator_apply(qp, x, CFG, dtype=jnp.float32))
+    scales = calibrate_act_scales(qp, [x], CFG, headroom=1.0)
+    assert len(scales) > 0 and all(s > 0 for s in scales.values())
+    stat = np.asarray(
+        int8_generator_apply(qp, x, CFG, dtype=jnp.float32, act_scales=scales)
+    )
+    rel = np.linalg.norm(stat - dyn) / (np.linalg.norm(dyn) + 1e-12)
+    assert rel < 0.05, rel
+
+
+def test_int8_task_analysis_synthesis(tmp_path, rng):
+    """Task-level wiring: MSMCTTS.analysis_synthesis with int8_decoder=True
+    calibrates on the first batch and produces waveforms tracking the float
+    path (infer.py --int8)."""
+    from msmctts_tpu.tasks import build_task
+    from tests.tiny import tiny_ae_config, write_tiny_dataset
+
+    corpus = str(tmp_path)
+    write_tiny_dataset(corpus)
+    config = tiny_ae_config(corpus)
+    task = build_task(config, mode="infer")
+    ae = task.networks["autoencoder"]
+
+    mel = rng.normal(size=(2, 16, 8)).astype(np.float32)
+    mel_length = np.asarray([16, 12], np.int32)
+    v = jax.jit(
+        lambda k: ae.init(
+            {"params": k, "dropout": k}, np.zeros((2, 16, 8), np.float32),
+            np.asarray([16, 16], np.int32), warmup=False, deterministic=True,
+        )
+    )(jax.random.PRNGKey(0))
+    task.load_variables(
+        {"params": {"autoencoder": v["params"]}, "codebook": v["codebook"]}
+    )
+
+    batch = {"mel": mel, "mel_length": mel_length}
+    out_f = task.analysis_synthesis(batch)
+    task.int8_decoder = True
+    out_8 = task.analysis_synthesis(batch)
+
+    assert task._jit_cache.get("int8") is not None
+    assert task._jit_cache["int8"].scales  # first-batch calibration ran
+    for wf, w8 in zip(out_f["wav"], out_8["wav"]):
+        assert wf.shape == w8.shape
+        assert np.all(np.isfinite(w8))
+        rel = np.linalg.norm(w8.astype(np.float32) - wf.astype(np.float32)) / (
+            np.linalg.norm(wf) + 1e-12
+        )
+        assert rel < 0.25, rel
+
+
 def test_int8_quantize_scales_per_channel(rng):
     g = HifiGANGenerator(num_mels=16, **CFG)
     x = jnp.asarray(rng.normal(size=(1, 8, 16)).astype(np.float32))
