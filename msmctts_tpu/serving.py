@@ -1,0 +1,299 @@
+"""Production TTS serving: dynamic batching over the static-shape jit cache.
+
+The reference's only inference surface is the offline batch CLI
+(/root/reference/infer.py:45-91); it has no serving layer. Serving TTS from
+a TPU adds two constraints the offline path doesn't have:
+
+- every distinct (batch, text-bucket, frame-bucket) shape is a separate XLA
+  compile, so the server pins ONE batch size and a small ladder of text
+  buckets and pre-compiles them all at startup (``warmup``) — no request
+  ever waits on a compile;
+- each device call pays a fixed dispatch latency, so throughput comes from
+  coalescing concurrent requests into one call (dynamic batching with a
+  bounded gather window) rather than from per-request dispatch.
+
+``BatchingEngine`` owns the device: a single worker thread drains a queue,
+pads requests into the fixed shapes (text to the bucket ladder, batch by
+repeating the last row), runs ``MSMCTTS.predict`` once, and distributes the
+per-request trimmed waveforms. Callers block on ``synthesize`` from any
+number of threads. ``serve.py`` wraps this in an HTTP front end.
+"""
+
+from __future__ import annotations
+
+import bisect
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from msmctts_tpu.data.datasets import TEXT_BUCKETS, bucket_length
+
+__all__ = ["BatchingEngine", "ServingStats", "parse_phone_string"]
+
+
+def parse_phone_string(text: str) -> np.ndarray:
+    """``"3_1 5_2 7_0"`` -> int32 [L, n_streams] (synthesize.py contract)."""
+    tokens = [[int(x) for x in tok.split("_")] for tok in text.split() if tok]
+    if not tokens:
+        raise ValueError("empty phone string")
+    widths = {len(t) for t in tokens}
+    if len(widths) != 1:
+        raise ValueError(f"inconsistent token widths {sorted(widths)}")
+    return np.asarray(tokens, np.int32)
+
+
+@dataclass
+class ServingStats:
+    """Cumulative counters + a bounded latency reservoir (thread-safe via
+    the engine's lock; percentile readout is approximate under load)."""
+
+    requests: int = 0
+    batches: int = 0
+    errors: int = 0
+    audio_seconds: float = 0.0
+    busy_seconds: float = 0.0
+    started_at: float = field(default_factory=time.time)
+    _latencies: List[float] = field(default_factory=list)
+    _MAX_LAT = 4096
+
+    def record_latency(self, seconds: float) -> None:
+        if len(self._latencies) >= self._MAX_LAT:
+            # drop a pseudo-random victim to keep a long-run sample
+            del self._latencies[len(self._latencies) // 2]
+        bisect.insort(self._latencies, seconds)
+
+    def snapshot(self, sample_rate: int) -> dict:
+        lat = self._latencies
+        pct = lambda p: (lat[min(len(lat) - 1, int(p * len(lat)))] if lat else None)
+        uptime = time.time() - self.started_at
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "errors": self.errors,
+            "mean_batch_size": (self.requests / self.batches) if self.batches else None,
+            "audio_seconds": round(self.audio_seconds, 3),
+            "device_realtime_factor": (
+                round(self.audio_seconds / self.busy_seconds, 1)
+                if self.busy_seconds > 0
+                else None
+            ),
+            "latency_s": {
+                "p50": pct(0.50),
+                "p95": pct(0.95),
+                "p99": pct(0.99),
+            },
+            "uptime_s": round(uptime, 1),
+            "sample_rate": sample_rate,
+        }
+
+
+class _Request:
+    __slots__ = ("text", "done", "wav", "error", "t_enqueue")
+
+    def __init__(self, text: np.ndarray):
+        self.text = text  # int32 [L, n_streams]
+        self.done = threading.Event()
+        self.wav: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+        self.t_enqueue = time.time()
+
+
+class BatchingEngine:
+    """Dynamic-batching front end over ``MSMCTTS.predict``.
+
+    Parameters
+    ----------
+    task: an infer-mode ``MSMCTTS`` task with variables loaded.
+    sample_rate: output audio rate (config ``dataset.samplerate``).
+    batch_size: the ONE pinned device batch size. Smaller batches are padded
+        up by repeating the last request's row; oversize gathers are split.
+    window_ms: how long the worker waits for followers after the first
+        request of a batch arrives. 0 disables coalescing (latency mode).
+    text_buckets: ladder of padded text lengths (each is a compiled shape).
+    max_queue: backpressure bound; ``synthesize`` raises when full.
+    """
+
+    def __init__(
+        self,
+        task,
+        sample_rate: int,
+        batch_size: int = 8,
+        window_ms: float = 15.0,
+        text_buckets: Sequence[int] = TEXT_BUCKETS,
+        max_queue: int = 256,
+    ):
+        if batch_size < 1:
+            raise ValueError("batch_size must be >= 1")
+        self.task = task
+        self.sample_rate = int(sample_rate)
+        self.batch_size = int(batch_size)
+        self.window_ms = float(window_ms)
+        self.text_buckets = tuple(sorted(text_buckets))
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue(maxsize=max_queue)
+        self._lock = threading.Lock()
+        self.stats = ServingStats()
+        self._thread: Optional[threading.Thread] = None
+        self._stopping = False
+
+    # -- lifecycle -----------------------------------------------------
+
+    def start(self) -> "BatchingEngine":
+        if self._thread is not None:
+            raise RuntimeError("engine already started")
+        self._stopping = False
+        self._thread = threading.Thread(
+            target=self._worker, name="tts-batcher", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 30.0) -> None:
+        if self._thread is None:
+            return
+        self._stopping = True
+        self._queue.put(None)  # wake the worker
+        self._thread.join(timeout=timeout)
+        self._thread = None
+        # fail any requests still queued
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None:
+                req.error = RuntimeError("engine stopped")
+                req.done.set()
+
+    def warmup(self, text_lengths: Optional[Sequence[int]] = None) -> float:
+        """Pre-compile every (batch, text-bucket) graph the server will use.
+
+        Returns wall seconds spent. Run before accepting traffic: a cold
+        XLA compile is tens of seconds, far beyond any request deadline.
+        """
+        n_streams = self._n_streams()
+        lengths = sorted(
+            {bucket_length(l, self.text_buckets) for l in (text_lengths or self.text_buckets)}
+        )
+        t0 = time.time()
+        for L in lengths:
+            text = np.ones((self.batch_size, L, n_streams), np.int32)
+            batch = {
+                "text": text,
+                "text_length": np.full((self.batch_size,), L, np.int32),
+            }
+            self.task.infer_step(batch)
+        return time.time() - t0
+
+    # -- request path --------------------------------------------------
+
+    def synthesize(self, text, timeout: Optional[float] = None) -> np.ndarray:
+        """Blocking synthesis: phone tokens in, trimmed float32 wav out.
+
+        ``text`` is an int array [L, n_streams] or a phone string
+        (``parse_phone_string``). Thread-safe; raises on engine errors,
+        backpressure overflow, or timeout.
+        """
+        if isinstance(text, str):
+            text = parse_phone_string(text)
+        text = np.asarray(text, np.int32)
+        if text.ndim == 1:  # single-stream models take [L] -> [L, 1]
+            text = text[:, None]
+        if text.ndim != 2 or text.shape[0] == 0:
+            raise ValueError(f"text must be [L, n_streams], got {text.shape}")
+        want = self._n_streams()
+        if text.shape[1] != want:
+            raise ValueError(
+                f"model takes {want}-stream phone tokens, got {text.shape[1]}"
+            )
+        if self._thread is None:
+            raise RuntimeError("engine not started")
+        req = _Request(text)
+        try:
+            self._queue.put_nowait(req)
+        except queue.Full:
+            with self._lock:
+                self.stats.errors += 1
+            raise RuntimeError("server overloaded (queue full)")
+        if not req.done.wait(timeout=timeout):
+            raise TimeoutError("synthesis timed out")
+        if req.error is not None:
+            raise req.error
+        return req.wav
+
+    # -- worker --------------------------------------------------------
+
+    def _n_streams(self) -> int:
+        n_symbols = self.task.networks["predictor"].n_symbols
+        return len(n_symbols) if isinstance(n_symbols, (list, tuple)) else 1
+
+    def _gather(self) -> Optional[List[_Request]]:
+        """Block for the first request, then coalesce followers for up to
+        ``window_ms`` or until ``batch_size`` is reached."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        reqs = [first]
+        deadline = time.time() + self.window_ms / 1000.0
+        while len(reqs) < self.batch_size:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._queue.put(None)  # re-post the stop sentinel
+                break
+            reqs.append(nxt)
+        return reqs
+
+    def _run_batch(self, reqs: List[_Request]) -> None:
+        n_streams = self._n_streams()
+        lengths = [r.text.shape[0] for r in reqs]
+        Lt = bucket_length(max(lengths), self.text_buckets)
+        B = self.batch_size
+        text = np.zeros((B, Lt, n_streams), np.int32)
+        for i, r in enumerate(reqs):
+            text[i, : r.text.shape[0]] = r.text
+        # pad the batch dimension by repeating the last real row: keeps the
+        # single compiled (B, Lt) shape live for any arrival count
+        for i in range(len(reqs), B):
+            text[i] = text[len(reqs) - 1]
+        text_length = np.asarray(
+            lengths + [lengths[-1]] * (B - len(reqs)), np.int32
+        )
+        t0 = time.time()
+        out = self.task.infer_step({"text": text, "text_length": text_length})
+        busy = time.time() - t0
+        done = time.time()
+        audio = 0.0
+        for i, r in enumerate(reqs):
+            r.wav = np.asarray(out["wav"][i])
+            audio += r.wav.shape[0] / self.sample_rate
+            r.done.set()
+        with self._lock:
+            self.stats.batches += 1
+            self.stats.requests += len(reqs)
+            self.stats.audio_seconds += audio
+            self.stats.busy_seconds += busy
+            for r in reqs:
+                self.stats.record_latency(done - r.t_enqueue)
+
+    def _worker(self) -> None:
+        while not self._stopping:
+            reqs = self._gather()
+            if reqs is None:
+                return
+            try:
+                self._run_batch(reqs)
+            except BaseException as e:  # deliver, don't kill the worker
+                with self._lock:
+                    self.stats.errors += len(reqs)
+                for r in reqs:
+                    r.error = e
+                    r.done.set()

@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""TTS serving daemon: HTTP front end over the dynamic-batching engine.
+
+    python serve.py -m <am_checkpoint> [--port 8080 --batch-size 8 \
+        --window-ms 15 --static-frames 512 --int8]
+
+Endpoints
+---------
+POST /synthesize   body {"text": "3_1_0 5_2_0 ..."} (id_tone[_er] phone
+                   tokens, synthesize.py contract). Returns audio/wav; with
+                   "format": "json" returns {"wav_b64", "sample_rate",
+                   "duration_s", "latency_s"}.
+GET  /healthz      {"status": "ok"} once warmup finished.
+GET  /stats        engine counters: batching, latency percentiles,
+                   device realtime factor.
+
+The engine pins one device batch size and a text-bucket ladder and
+pre-compiles every graph at startup, so no request ever waits on XLA
+(msmctts_tpu/serving.py). The reference has no serving surface; this wraps
+the same task path its infer.py drives (/root/reference/infer.py:45-91).
+"""
+
+import argparse
+import base64
+import io
+import json
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def build_engine(args):
+    from msmctts_tpu.config import Config
+    from msmctts_tpu.serving import BatchingEngine
+    from msmctts_tpu.tasks import build_task
+    from msmctts_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(args.model)
+    config = Config(args.config) if args.config else Config(ckpt["config"])
+    task = build_task(config, mode="infer")
+    task.load_variables(ckpt["state"])
+    if args.static_frames:
+        task.static_max_frames = args.static_frames
+    if args.int8:
+        task.int8_decoder = True
+    sr = args.sample_rate or int(config.dataset["samplerate"])
+    return BatchingEngine(
+        task,
+        sample_rate=sr,
+        batch_size=args.batch_size,
+        window_ms=args.window_ms,
+        max_queue=args.max_queue,
+    )
+
+
+def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
+    from scipy.io import wavfile
+
+    buf = io.BytesIO()
+    pcm = np.clip(wav, -1.0, 1.0)
+    wavfile.write(buf, sr, (pcm * 32767.0).astype(np.int16))
+    return buf.getvalue()
+
+
+def make_handler(engine, ready: threading.Event, request_timeout: float):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *a):  # quiet per-request noise
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, code: int, obj: dict):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                if ready.is_set():
+                    self._json(200, {"status": "ok"})
+                else:
+                    self._json(503, {"status": "warming_up"})
+            elif self.path == "/stats":
+                self._json(200, engine.stats.snapshot(engine.sample_rate))
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self._json(404, {"error": "not found"})
+                return
+            if not ready.is_set():
+                # warmup owns the device until every graph is compiled
+                self._json(503, {"error": "warming_up"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                text = req["text"]
+            except (ValueError, KeyError) as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            t0 = time.time()
+            try:
+                wav = engine.synthesize(text, timeout=request_timeout)
+            except TimeoutError:
+                self._json(504, {"error": "synthesis timed out"})
+                return
+            except RuntimeError as e:
+                code = 503 if "overloaded" in str(e) else 500
+                self._json(code, {"error": str(e)})
+                return
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+                return
+            latency = time.time() - t0
+            if req.get("format") == "json":
+                self._json(
+                    200,
+                    {
+                        "wav_b64": base64.b64encode(
+                            wav_bytes(wav, engine.sample_rate)
+                        ).decode(),
+                        "sample_rate": engine.sample_rate,
+                        "duration_s": round(wav.shape[0] / engine.sample_rate, 4),
+                        "latency_s": round(latency, 4),
+                    },
+                )
+            else:
+                self._send(200, wav_bytes(wav, engine.sample_rate), "audio/wav")
+
+    return Handler
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-m", "--model", required=True, help="AM checkpoint")
+    p.add_argument("-c", "--config", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--window-ms", type=float, default=15.0)
+    p.add_argument("--static-frames", type=int, default=None,
+                   help="single-round-trip latency mode (fixed frame bucket)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 PTQ HiFi-GAN decoder (1.65x e2e on v5e)")
+    p.add_argument("--sample-rate", type=int, default=None)
+    p.add_argument("--max-queue", type=int, default=256)
+    p.add_argument("--request-timeout", type=float, default=120.0)
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip startup pre-compiles (first requests stall)")
+    p.add_argument("--warmup-lengths", type=int, nargs="*", default=None,
+                   help="text lengths to pre-compile (default: full ladder)")
+    args = p.parse_args()
+
+    engine = build_engine(args).start()
+    ready = threading.Event()
+    server = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(engine, ready, args.request_timeout)
+    )
+
+    def _warm():
+        if not args.no_warmup:
+            secs = engine.warmup(args.warmup_lengths)
+            print(f"warmup: compiled serving graphs in {secs:.1f}s", flush=True)
+        ready.set()
+        print(f"serving on http://{args.host}:{server.server_port}", flush=True)
+
+    threading.Thread(target=_warm, daemon=True).start()
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        engine.stop()
+        sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()

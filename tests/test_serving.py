@@ -1,0 +1,232 @@
+"""Serving layer: dynamic batching engine + HTTP front end.
+
+The engine must (a) coalesce concurrent requests into one device call,
+(b) produce bit-identical audio whether a request rides alone or inside a
+coalesced batch (padding must be inert), and (c) keep the HTTP contract
+(WAV bytes, JSON mode, health/stats) working end-to-end.
+"""
+
+import base64
+import http.client
+import io
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from msmctts_tpu.config import component_kwargs
+from msmctts_tpu.registry import get_trainer
+from msmctts_tpu.serving import BatchingEngine, parse_phone_string
+from msmctts_tpu.tasks import build_task
+from msmctts_tpu.utils.checkpoint import find_latest_checkpoint, load_checkpoint
+from tests.tiny import tiny_ae_config, tiny_am_config, write_tiny_dataset
+
+SR = 1600  # tiny corpus rate (tests/tiny.py)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("serve_corpus"))
+    write_tiny_dataset(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def am_task(corpus):
+    """Train the tiny AE + AM a few steps and return an infer-mode task."""
+    ae_cfg = tiny_ae_config(corpus)
+    task = build_task(ae_cfg, mode="train")
+    get_trainer("VQGANTrainer")(
+        ae_cfg, task, **component_kwargs(ae_cfg.trainer)
+    ).train(max_steps=4, log_every=2)
+    ae_ckpt = find_latest_checkpoint(ae_cfg.save_checkpoint_dir)
+
+    am_cfg = tiny_am_config(corpus, ae_ckpt)
+    task = build_task(am_cfg, mode="train")
+    get_trainer("PredictorTrainer")(
+        am_cfg, task, **component_kwargs(am_cfg.trainer)
+    ).train(max_steps=3, log_every=1)
+    am_ckpt = find_latest_checkpoint(am_cfg.save_checkpoint_dir)
+
+    task = build_task(am_cfg, mode="infer")
+    task.load_variables(load_checkpoint(am_ckpt)["state"])
+    return task
+
+
+def _mk_engine(task, **kw):
+    kw.setdefault("sample_rate", SR)
+    kw.setdefault("batch_size", 4)
+    kw.setdefault("text_buckets", (8, 16))
+    return BatchingEngine(task, **kw)
+
+
+def test_parse_phone_string():
+    arr = parse_phone_string("3_1 5_2 7_0")
+    assert arr.shape == (3, 2) and arr.dtype == np.int32
+    assert arr[1].tolist() == [5, 2]
+    with pytest.raises(ValueError):
+        parse_phone_string("")
+    with pytest.raises(ValueError):
+        parse_phone_string("3_1 5")
+
+
+def test_single_request_roundtrip(am_task):
+    eng = _mk_engine(am_task, window_ms=0.0).start()
+    try:
+        wav = eng.synthesize("3_1 5_2 7_0 2_1", timeout=300)
+        assert wav.ndim == 1 and wav.shape[0] > 0
+        assert np.isfinite(wav).all()
+        snap = eng.stats.snapshot(SR)
+        assert snap["requests"] == 1 and snap["batches"] == 1
+        assert snap["audio_seconds"] > 0
+    finally:
+        eng.stop()
+
+
+def test_concurrent_requests_coalesce_and_match_solo(am_task):
+    """3 concurrent requests ride one device call; each result is identical
+    to the same text synthesized alone (padding rows are inert)."""
+    texts = ["3_1 5_2 7_0 2_1", "4_2 6_1", "1_1 2_2 3_3 4_4 5_0 6_1"]
+
+    eng = _mk_engine(am_task, window_ms=0.0).start()
+    try:
+        solo = [eng.synthesize(t, timeout=300) for t in texts]
+        base_batches = eng.stats.batches
+    finally:
+        eng.stop()
+
+    eng = _mk_engine(am_task, window_ms=500.0).start()
+    try:
+        results = [None] * len(texts)
+
+        def run(i):
+            results[i] = eng.synthesize(texts[i], timeout=300)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(len(texts))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        snap = eng.stats.snapshot(SR)
+        assert snap["requests"] == 3
+        assert snap["batches"] < 3  # coalescing happened
+        assert snap["mean_batch_size"] > 1
+        for got, want in zip(results, solo):
+            np.testing.assert_allclose(got, want, atol=1e-6)
+    finally:
+        eng.stop()
+    assert base_batches == 3  # window 0 -> no coalescing
+
+
+def test_warmup_compiles_buckets(am_task):
+    eng = _mk_engine(am_task).start()
+    try:
+        eng.warmup()  # both text buckets
+        # warm path: a request now reuses the compiled graphs
+        wav = eng.synthesize("3_1 5_2", timeout=300)
+        assert np.isfinite(wav).all()
+    finally:
+        eng.stop()
+
+
+def test_engine_error_delivery(am_task, monkeypatch):
+    eng = _mk_engine(am_task).start()
+    try:
+        with pytest.raises(ValueError):
+            eng.synthesize(np.zeros((0, 2), np.int32), timeout=10)
+        with pytest.raises(ValueError):  # stream-width mismatch caught early
+            eng.synthesize("3_1_0 5_2_0", timeout=10)
+        # worker survives a device-side failure and keeps serving
+        real = am_task.infer_step
+        calls = {"n": 0}
+
+        def flaky(batch):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected device failure")
+            return real(batch)
+
+        monkeypatch.setattr(am_task, "infer_step", flaky)
+        with pytest.raises(RuntimeError, match="injected"):
+            eng.synthesize("3_1 5_2", timeout=300)
+        wav = eng.synthesize("3_1 5_2", timeout=300)  # still serving
+        assert np.isfinite(wav).all()
+        assert eng.stats.errors >= 1
+    finally:
+        eng.stop()
+
+
+def test_http_server_end_to_end(am_task):
+    """serve.py's handler over a real socket: WAV bytes, JSON mode,
+    health + stats."""
+    from http.server import ThreadingHTTPServer
+
+    from serve import make_handler
+
+    eng = _mk_engine(am_task, window_ms=5.0).start()
+    ready = threading.Event()
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(eng, ready, request_timeout=300)
+    )
+    port = server.server_port
+    srv_thread = threading.Thread(target=server.serve_forever, daemon=True)
+    srv_thread.start()
+    try:
+        def request(method, path, body=None):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+            conn.request(
+                method, path,
+                body=json.dumps(body) if body is not None else None,
+                headers={"Content-Type": "application/json"},
+            )
+            resp = conn.getresponse()
+            data = resp.read()
+            conn.close()
+            return resp.status, resp.getheader("Content-Type"), data
+
+        # not ready yet -> 503
+        status, _, data = request("POST", "/synthesize", {"text": "3_1 5_2"})
+        assert status == 503 and b"warming_up" in data
+        status, _, _ = request("GET", "/healthz")
+        assert status == 503
+
+        ready.set()
+        status, _, data = request("GET", "/healthz")
+        assert status == 200 and json.loads(data)["status"] == "ok"
+
+        # WAV bytes
+        status, ctype, data = request("POST", "/synthesize", {"text": "3_1 5_2 7_0"})
+        assert status == 200 and ctype == "audio/wav"
+        from scipy.io import wavfile
+
+        sr, pcm = wavfile.read(io.BytesIO(data))
+        assert sr == SR and pcm.dtype == np.int16 and pcm.shape[0] > 0
+
+        # JSON mode
+        status, ctype, data = request(
+            "POST", "/synthesize", {"text": "3_1 5_2", "format": "json"}
+        )
+        assert status == 200 and ctype == "application/json"
+        payload = json.loads(data)
+        wav_blob = base64.b64decode(payload["wav_b64"])
+        sr2, pcm2 = wavfile.read(io.BytesIO(wav_blob))
+        assert sr2 == SR and pcm2.shape[0] > 0
+        assert payload["duration_s"] > 0 and payload["sample_rate"] == SR
+
+        # bad input -> 400
+        status, _, _ = request("POST", "/synthesize", {"nope": 1})
+        assert status == 400
+        status, _, _ = request("POST", "/synthesize", {"text": ""})
+        assert status == 400
+
+        # stats
+        status, _, data = request("GET", "/stats")
+        stats = json.loads(data)
+        assert status == 200 and stats["requests"] >= 2
+        assert stats["latency_s"]["p50"] is not None
+    finally:
+        server.shutdown()
+        srv_thread.join(timeout=10)
+        eng.stop()
