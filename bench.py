@@ -17,6 +17,9 @@ synth (default)   Jitted text->waveform graph throughput (predictor +
 --e2e-infer       The SHIPPED two-phase inference path (MSMCTTS.predict:
                   host duration round-trip, frame bucketing, per-bucket
                   compiles) -> x real-time, vs_baseline = value / 300.
+--ttfa            Time-to-first-audio, B=1: streaming chunked decode
+                  (msmctts_tpu/streaming.py) vs monolithic; emits
+                  TTFA_stream in ms, vs_baseline = mono/stream speedup.
 
 --vq-pallas {auto,on,off} routes the quantizer through the fused Pallas VQ
 kernel (on TPU) or the unfused XLA path — for kernel a/b measurement.
@@ -224,6 +227,163 @@ def bench_synth(args):
     _emit("e2e_tts_throughput", rtf, "x_realtime_per_chip", rtf / 300.0)
 
 
+def bench_ttfa(args):
+    """Time-to-first-audio: streaming chunked HiFi-GAN decode
+    (msmctts_tpu/streaming.py) vs the monolithic decode, for ONE
+    utterance (B=1 — the interactive-serving latency scenario; the
+    reference decodes whole utterances only, msmc_vqgan.py:372-398).
+
+    TTFA_stream = t(AM+features) + t(decode first window)
+    TTFA_mono   = t(AM+features) + t(decode all T frames)
+
+    Each stage is timed the chained way (lax.scan + data dependency,
+    one scalar readout, differenced against a length-1 chain) — see
+    the module docstring for why nothing else is trustworthy here.
+    Emits TTFA_stream in ms; vs_baseline = TTFA_mono / TTFA_stream
+    (the latency speedup streaming buys over the reference's
+    whole-utterance behavior)."""
+    import jax
+    import jax.numpy as jnp
+
+    from msmctts_tpu.config import component_kwargs, load_yaml
+    from msmctts_tpu.models.hifigan import receptive_field_frames
+    from msmctts_tpu.models.predictor import MultiStagePredictor
+    from msmctts_tpu.parallel.precision import cast_floats
+
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    ae = _ae_module(dtype, args.vq_pallas)
+    am_node = load_yaml(AM_YAML)["task"]["predictor"]
+    predictor = MultiStagePredictor(**component_kwargs(am_node))
+
+    B, Lt, T = 1, 128, 512  # one 6.4 s utterance
+    chunk = 64  # 0.8 s of audio in the first chunk
+    rng = np.random.default_rng(0)
+    n_symbols = list(am_node["n_symbols"])
+    # numpy init examples: device-resident trace constants force D2H
+    # mid-trace through the flaky tunnel (killed the round-2 gate)
+    text_np = _rand_text(rng, B, Lt, n_symbols)
+    tl_np = np.full((B,), Lt, np.int32)
+    dur_np = np.full((B, Lt), T // Lt, np.float32)
+    text = jnp.asarray(text_np)
+    text_length = jnp.asarray(tl_np)
+    dur = jnp.asarray(dur_np)
+
+    k = jax.random.PRNGKey(0)
+    pvars = jax.jit(
+        lambda k: predictor.init(
+            {"params": k, "dropout": k}, text_np, tl_np, dur=dur_np,
+            max_frames=T, deterministic=True,
+        )
+    )(k)
+    avars = jax.jit(
+        lambda k: ae.init(
+            {"params": k, "dropout": k}, np.zeros((2, 16, 80), np.float32),
+            np.asarray([16, 16], np.int32), warmup=False, deterministic=True,
+        )
+    )(k)
+    codebooks = [
+        avars["codebook"]["quantizer"][f"vq_{i}"]["embed"] for i in range(2)
+    ]
+    pvars = dict(pvars, params=cast_floats(pvars["params"], dtype))
+    avars = dict(avars, params=cast_floats(avars["params"], dtype))
+
+    def features(pv, av, text, tl, d, cbs):
+        out = predictor.apply(
+            pv, text, tl, dur=d, max_frames=T, codebooks=cbs,
+            deterministic=True,
+        )
+        return ae.apply(
+            av, out["feat"], out["feat_length"],
+            method="synthesis_features", deterministic=True,
+        )
+
+    ctx = receptive_field_frames(dict(ae.decoder_config))
+    window = min(T, chunk + 2 * ctx)
+
+    def _dec(mdl, x):
+        return mdl.decoder(x)
+
+    def win_decode(av, feats):
+        return ae.apply(av, feats[:, :window], method=_dec)
+
+    def full_decode(av, feats):
+        return ae.apply(av, feats, method=_dec)
+
+    # one representative features tensor (shape/layout source for trials)
+    feats0 = jax.jit(features)(pvars, avars, text, text_length, dur, codebooks)
+    feats_np = np.asarray(feats0, np.float32)
+
+    def chained_feats(iters):
+        @jax.jit
+        def run(pv, av, text, tl, d, cbs):
+            def body(carry, _):
+                dd, acc = carry
+                f = features(pv, av, text, tl, dd, cbs)
+                s = jnp.sum(f.astype(jnp.float32))
+                return (dd + 0.0 * s, acc + s), ()
+            (_, acc), _ = jax.lax.scan(
+                body, (d, jnp.float32(0)), None, length=iters
+            )
+            return acc
+        return run
+
+    def chained_decode(decode, iters):
+        @jax.jit
+        def run(av, feats):
+            def body(carry, _):
+                f, acc = carry
+                w = decode(av, f)
+                s = jnp.sum(w.astype(jnp.float32))
+                return (f + 0.0 * s, acc + s), ()
+            (_, acc), _ = jax.lax.scan(
+                body, (feats, jnp.float32(0)), None, length=iters
+            )
+            return acc
+        return run
+
+    n = max(args.runs, 2)
+
+    def stage_time(make, fresh_args, trials=3):
+        """(best_of(chain_n) - best_of(chain_1)) / (n - 1); every trial
+        gets fresh input buffers (the dev runtime memoizes on buffer
+        identity)."""
+        c1, cn = make(1), make(n)
+        def best(fn):
+            ts = []
+            for _ in range(trials):
+                a = fresh_args()
+                jax.block_until_ready(a)
+                t0 = time.perf_counter()
+                float(fn(*a))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+        best(c1), best(cn)  # compile + warm
+        return (best(cn) - best(c1)) / (n - 1)
+
+    t_feat = stage_time(
+        chained_feats,
+        lambda: (pvars, avars, jnp.asarray(_rand_text(rng, B, Lt, n_symbols)),
+                 text_length, dur, codebooks),
+    )
+    def fresh_feats():
+        return (avars, jnp.asarray(
+            feats_np + rng.normal(scale=1e-3, size=feats_np.shape)
+        ).astype(feats0.dtype))
+
+    t_win = stage_time(lambda i: chained_decode(win_decode, i), fresh_feats)
+    t_full = stage_time(lambda i: chained_decode(full_decode, i), fresh_feats)
+
+    ttfa_stream = t_feat + t_win
+    ttfa_mono = t_feat + t_full
+    print(
+        f"ttfa: feat={t_feat*1e3:.2f}ms win[{window}f]={t_win*1e3:.2f}ms "
+        f"full[{T}f]={t_full*1e3:.2f}ms mono={ttfa_mono*1e3:.2f}ms",
+        file=sys.stderr,
+    )
+    _emit("streaming_ttfa", ttfa_stream * 1e3, "ms_first_audio",
+          ttfa_mono / max(ttfa_stream, 1e-9))
+
+
 def bench_train_step(args):
     import jax
 
@@ -367,6 +527,9 @@ def main():
                         help="benchmark the CSMSC-scale GAN train step")
     parser.add_argument("--e2e-infer", action="store_true",
                         help="benchmark the shipped two-phase inference path")
+    parser.add_argument("--ttfa", action="store_true",
+                        help="time-to-first-audio: streaming chunked decode "
+                        "vs monolithic, B=1 (serving latency scenario)")
     parser.add_argument("--vq-pallas", choices=["auto", "on", "off"],
                         default="auto", help="fused Pallas VQ kernel routing")
     parser.add_argument("--int8", action="store_true",
@@ -387,8 +550,14 @@ def main():
     parser.add_argument("--frames", type=int, default=384,
                         help="mel frames per utterance (--train-step)")
     args = parser.parse_args()
+    from msmctts_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
+
     if args.train_step:
         fn, metric, unit = bench_train_step, "train_step_throughput", "steps_per_sec"
+    elif args.ttfa:
+        fn, metric, unit = bench_ttfa, "streaming_ttfa", "ms_first_audio"
     elif args.e2e_infer:
         fn, metric, unit = bench_e2e_infer, "e2e_infer_throughput", "x_realtime_per_chip"
     else:

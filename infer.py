@@ -63,6 +63,10 @@ def main():
                              "device round-trip per batch (pays padded "
                              "synthesis compute; pick ~the corpus max)")
     args = parser.parse_args()
+    from msmctts_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
+
 
     ckpt = load_checkpoint(args.model)
     config = Config(args.config) if args.config else Config(ckpt["config"])

@@ -92,14 +92,18 @@ class ServingStats:
 
 
 class _Request:
-    __slots__ = ("text", "done", "wav", "error", "t_enqueue")
+    __slots__ = ("text", "done", "wav", "error", "t_enqueue", "stream", "chunk_q")
 
-    def __init__(self, text: np.ndarray):
+    def __init__(self, text: np.ndarray, stream: bool = False):
         self.text = text  # int32 [L, n_streams]
         self.done = threading.Event()
         self.wav: Optional[np.ndarray] = None
         self.error: Optional[BaseException] = None
         self.t_enqueue = time.time()
+        self.stream = stream
+        # streaming requests receive trimmed per-utterance wav pieces here,
+        # then a None sentinel (or one BaseException)
+        self.chunk_q: Optional[queue.Queue] = queue.Queue() if stream else None
 
 
 class BatchingEngine:
@@ -125,6 +129,7 @@ class BatchingEngine:
         window_ms: float = 15.0,
         text_buckets: Sequence[int] = TEXT_BUCKETS,
         max_queue: int = 256,
+        stream_chunk_frames: int = 64,
     ):
         if batch_size < 1:
             raise ValueError("batch_size must be >= 1")
@@ -132,6 +137,7 @@ class BatchingEngine:
         self.sample_rate = int(sample_rate)
         self.batch_size = int(batch_size)
         self.window_ms = float(window_ms)
+        self.stream_chunk_frames = int(stream_chunk_frames)
         self.text_buckets = tuple(sorted(text_buckets))
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue(maxsize=max_queue)
         self._lock = threading.Lock()
@@ -197,6 +203,38 @@ class BatchingEngine:
         (``parse_phone_string``). Thread-safe; raises on engine errors,
         backpressure overflow, or timeout.
         """
+        req = self._submit(text, stream=False)
+        if not req.done.wait(timeout=timeout):
+            raise TimeoutError("synthesis timed out")
+        if req.error is not None:
+            raise req.error
+        return req.wav
+
+    def synthesize_stream(self, text, timeout: Optional[float] = None,
+                          first_chunk_timeout: Optional[float] = None):
+        """Streaming synthesis: yields trimmed float32 wav pieces for ONE
+        utterance as the decoder produces them (task.predict_stream —
+        chunk concatenation is EXACTLY the monolithic waveform). The AM
+        phase still rides the dynamic batch; only the vocoder is chunked.
+
+        ``timeout`` bounds each inter-chunk wait (the first one may also
+        be bounded tighter via ``first_chunk_timeout`` — it includes the
+        batching window + AM phase)."""
+        req = self._submit(text, stream=True)
+        deadline = first_chunk_timeout or timeout
+        while True:
+            try:
+                item = req.chunk_q.get(timeout=deadline)
+            except queue.Empty:
+                raise TimeoutError("streaming synthesis timed out")
+            deadline = timeout
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def _submit(self, text, stream: bool) -> _Request:
         if isinstance(text, str):
             text = parse_phone_string(text)
         text = np.asarray(text, np.int32)
@@ -211,18 +249,14 @@ class BatchingEngine:
             )
         if self._thread is None:
             raise RuntimeError("engine not started")
-        req = _Request(text)
+        req = _Request(text, stream=stream)
         try:
             self._queue.put_nowait(req)
         except queue.Full:
             with self._lock:
                 self.stats.errors += 1
             raise RuntimeError("server overloaded (queue full)")
-        if not req.done.wait(timeout=timeout):
-            raise TimeoutError("synthesis timed out")
-        if req.error is not None:
-            raise req.error
-        return req.wav
+        return req
 
     # -- worker --------------------------------------------------------
 
@@ -267,15 +301,20 @@ class BatchingEngine:
         text_length = np.asarray(
             lengths + [lengths[-1]] * (B - len(reqs)), np.int32
         )
+        batch = {"text": text, "text_length": text_length}
         t0 = time.time()
-        out = self.task.infer_step({"text": text, "text_length": text_length})
-        busy = time.time() - t0
+        if any(r.stream for r in reqs):
+            audio = self._run_streaming(reqs, batch)
+            busy = time.time() - t0
+        else:
+            out = self.task.infer_step(batch)
+            busy = time.time() - t0
+            audio = 0.0
+            for i, r in enumerate(reqs):
+                r.wav = np.asarray(out["wav"][i])
+                audio += r.wav.shape[0] / self.sample_rate
+                r.done.set()
         done = time.time()
-        audio = 0.0
-        for i, r in enumerate(reqs):
-            r.wav = np.asarray(out["wav"][i])
-            audio += r.wav.shape[0] / self.sample_rate
-            r.done.set()
         with self._lock:
             self.stats.batches += 1
             self.stats.requests += len(reqs)
@@ -283,6 +322,43 @@ class BatchingEngine:
             self.stats.busy_seconds += busy
             for r in reqs:
                 self.stats.record_latency(done - r.t_enqueue)
+
+    def _run_streaming(self, reqs: List[_Request], batch: dict) -> float:
+        """Drive ``task.predict_stream`` for a batch containing streaming
+        requests: every vocoder chunk is sliced per utterance and pushed
+        to streaming requests immediately; non-streaming requests in the
+        same batch get their concatenation. Returns audio seconds."""
+        meta, chunks = self.task.predict_stream(
+            batch, chunk_frames=self.stream_chunk_frames
+        )
+        wav_len = meta["wav_length"]
+        acc: List[list] = [[] for _ in reqs]
+        off = 0
+        for chunk in chunks:
+            n = chunk.shape[1]
+            for i, r in enumerate(reqs):
+                lo, hi = off, min(off + n, int(wav_len[i]))
+                if hi <= lo:
+                    continue
+                piece = np.asarray(chunk[i, : hi - lo])
+                if r.stream:
+                    r.chunk_q.put(piece)
+                else:
+                    acc[i].append(piece)
+            off += n
+        audio = 0.0
+        for i, r in enumerate(reqs):
+            audio += int(wav_len[i]) / self.sample_rate
+            if r.stream:
+                r.chunk_q.put(None)
+            else:
+                r.wav = (
+                    np.concatenate(acc[i])
+                    if acc[i]
+                    else np.zeros((0,), np.float32)
+                )
+            r.done.set()
+        return audio
 
     def _worker(self) -> None:
         while not self._stopping:
@@ -296,4 +372,6 @@ class BatchingEngine:
                     self.stats.errors += len(reqs)
                 for r in reqs:
                     r.error = e
+                    if r.stream:
+                        r.chunk_q.put(e)
                     r.done.set()

@@ -366,23 +366,13 @@ class MSMCTTS(BaseTask):
             "mel_length": batch["mel_length"],
         }
 
-    def predict(self, batch: dict) -> dict:
-        """text -> MSMCR -> waveform (msmc_tts.py:109-127).
-
-        Two-phase: durations predicted on device, only the per-utterance
-        frame TOTALS cross to the host (one [B]-int transfer) to pick the
-        static frame bucket; the duration tensor itself stays on device for
-        phase 2. Codebooks are uploaded once and cached (D2H/H2D transfers
-        carry a high fixed latency on remote-attached TPUs).
-
-        If the batch carries ``dur`` (frame counts per symbol, e.g. from a
-        testlist entry ``dur: "12 7 9 ..."``), phase 1 is skipped and the
-        given durations drive the expansion — forced-duration synthesis for
-        objective eval (evaluate_mcd.py aligns frames by truncation, so
-        ground-truth durations make TTS output comparable to the reference
-        audio)."""
+    def _predict_phase1(self, batch: dict) -> dict:
+        """Shared phase 1 of ``predict``/``predict_stream``: codebook
+        upload, duration prediction (or forced durations from the batch),
+        and static frame-bucket choice. Only the per-utterance frame
+        TOTALS cross to the host (one [B]-int transfer); the duration
+        tensor stays on device for phase 2."""
         predictor = self.networks["predictor"]
-        ae = self.networks["autoencoder"]
         pvars = self.variables["predictor"]
         avars = self.variables["autoencoder"]
         codebooks = self._jit_cache.get("codebooks")
@@ -403,6 +393,7 @@ class MSMCTTS(BaseTask):
             given = np.round(np.maximum(given, 0.0)) * mask
             durations_dev = jnp.asarray(given)
             total = given.sum(axis=1).astype(np.int64)
+            total_dev = jnp.asarray(total)
         else:
             # Phase 1: predicted durations (per text bucket).
             dur_fn = self._jit_cache.get(("dur", Lt))
@@ -435,32 +426,189 @@ class MSMCTTS(BaseTask):
                 else int(total.max()), lcm),
             FRAME_BUCKETS,
         )
+        return dict(
+            text=text, text_length=text_length, Lt=Lt, codebooks=codebooks,
+            durations_dev=durations_dev, total=total, total_dev=total_dev,
+            max_frames=max_frames,
+        )
+
+    def _syn_feat_fn(self, Lt: int, max_frames: int):
+        """Jitted AM expansion + AE pre-decoder features for one
+        (text bucket, frame bucket): (pv, av, text, text_length, dur,
+        codebooks) -> (predictor out, decoder features). Shared by int8
+        first-batch calibration and the streaming path."""
+        predictor = self.networks["predictor"]
+        ae = self.networks["autoencoder"]
+        key = ("syn_feats", Lt, max_frames)
+        feat_fn = self._jit_cache.get(key)
+        if feat_fn is None:
+            @partial(jax.jit, static_argnames=("max_frames",))
+            def feat_fn(pv, av, text, text_length, dur, cbs, max_frames):
+                out = predictor.apply(
+                    pv, text, text_length, dur=dur,
+                    max_frames=max_frames, codebooks=cbs,
+                    deterministic=True,
+                )
+                feats = ae.apply(
+                    av, out["feat"], out["feat_length"],
+                    method="synthesis_features", deterministic=True,
+                )
+                return out, feats
+
+            self._jit_cache[key] = feat_fn
+        return feat_fn
+
+    def predict_features(self, batch: dict):
+        """Phases 1-2 of ``predict`` up to (excluding) the HiFi-GAN
+        decoder. Returns ``(p1, out, feats)`` with ``feats``
+        [B, max_frames, C] left device-resident — the streaming decode
+        (``predict_stream``) slices windows out of it on device."""
+        p1 = self._predict_phase1(batch)
+        feat_fn = self._syn_feat_fn(p1["Lt"], p1["max_frames"])
+        out, feats = feat_fn(
+            self.variables["predictor"], self.variables["autoencoder"],
+            p1["text"], p1["text_length"],
+            p1["durations_dev"].astype(jnp.float32), p1["codebooks"],
+            max_frames=p1["max_frames"],
+        )
+        return p1, out, feats
+
+    def _streaming_decoder(self, chunk_frames: int):
+        """Per-(chunk size, int8 flag) cached StreamingDecoder over the
+        AE's HiFi-GAN decoder (msmctts_tpu/streaming.py). Params/qparams
+        are jit ARGUMENTS (bound late via closures over self), never
+        trace constants."""
+        from msmctts_tpu.models.hifigan import receptive_field_frames
+        from msmctts_tpu.streaming import StreamingDecoder
+
+        key = ("stream", chunk_frames, bool(self.int8_decoder))
+        sd = self._jit_cache.get(key)
+        if sd is not None:
+            return sd
+        ae = self.networks["autoencoder"]
+        dec_cfg = dict(ae.decoder_config)
+        hop = int(np.prod(np.asarray(dec_cfg["upsample_rates"])))
+        ctx = receptive_field_frames(dec_cfg)
+        window = chunk_frames + 2 * ctx
+
+        if self.int8_decoder:
+            from msmctts_tpu.ops.int8_generator import int8_generator_apply
+
+            i8 = self._int8()
+            assert i8.scales is not None, "calibrate before streaming"
+            scales, dt = i8.scales, i8.dtype
+
+            @jax.jit
+            def win_fn(qp, feats, start):
+                b, _, c = feats.shape
+                win = jax.lax.dynamic_slice(feats, (0, start, 0), (b, window, c))
+                return int8_generator_apply(qp, win, dec_cfg, dtype=dt, act_scales=scales)
+
+            @jax.jit
+            def full_fn(qp, feats):
+                return int8_generator_apply(qp, feats, dec_cfg, dtype=dt, act_scales=scales)
+
+            sd = StreamingDecoder(
+                lambda f, s: win_fn(i8.qparams, f, s),
+                lambda f: full_fn(i8.qparams, f),
+                hop, ctx, chunk_frames,
+            )
+        else:
+            def _decode(mdl, x):
+                return mdl.decoder(x)
+
+            @jax.jit
+            def win_fn(av, feats, start):
+                b, _, c = feats.shape
+                win = jax.lax.dynamic_slice(feats, (0, start, 0), (b, window, c))
+                return ae.apply(av, win, method=_decode)
+
+            full_fn = jax.jit(lambda av, feats: ae.apply(av, feats, method=_decode))
+            sd = StreamingDecoder(
+                lambda f, s: win_fn(self.variables["autoencoder"], f, s),
+                lambda f: full_fn(self.variables["autoencoder"], f),
+                hop, ctx, chunk_frames,
+            )
+        self._jit_cache[key] = sd
+        return sd
+
+    def predict_stream(self, batch: dict, chunk_frames: int = 64):
+        """Streaming synthesis for low time-to-first-audio: text ->
+        MSMCR -> waveform CHUNKS. The reference has no streaming surface;
+        chunked decode is exact vs the monolithic one
+        (msmctts_tpu/streaming.py, tests/test_streaming.py).
+
+        Returns ``(meta, chunks)``: ``meta`` has per-utterance
+        ``wav_length``/``mel_length`` (host ints, for trimming) and
+        ``hop``; ``chunks`` is a generator of rectangular float32
+        [B, <=chunk_frames*hop] arrays, left to right — utterance i's
+        true samples are the first ``wav_length[i]`` of the
+        concatenation. Stops once every utterance's length is covered
+        (the tail of the padded frame bucket is never decoded)."""
+        p1, out, feats = self.predict_features(batch)
+        if self.int8_decoder:
+            i8 = self._int8()
+            if i8.scales is None:
+                i8.calibrate(feats)
+        sd = self._streaming_decoder(chunk_frames)
+
+        total = p1["total"]
+        if total is None:
+            total = np.asarray(p1["total_dev"]).astype(np.int64)
+        total = np.minimum(total, p1["max_frames"])
+        wav_length = total * sd.hop
+        meta = {
+            "mel_length": total,
+            "wav_length": wav_length,
+            "hop": sd.hop,
+            "duration": np.asarray(p1["durations_dev"]),
+        }
+
+        def chunks():
+            need = int(wav_length.max())
+            produced = 0
+            for chunk in sd.stream(feats):
+                yield chunk.astype(np.float32)
+                produced += chunk.shape[1]
+                if produced >= need:
+                    return
+
+        return meta, chunks()
+
+    def predict(self, batch: dict) -> dict:
+        """text -> MSMCR -> waveform (msmc_tts.py:109-127).
+
+        Two-phase: durations predicted on device (``_predict_phase1``),
+        then expansion + decoding + synthesis under one jit per
+        (text bucket, frame bucket). Codebooks are uploaded once and
+        cached (D2H/H2D transfers carry a high fixed latency on
+        remote-attached TPUs).
+
+        If the batch carries ``dur`` (frame counts per symbol, e.g. from a
+        testlist entry ``dur: "12 7 9 ..."``), phase 1 is skipped and the
+        given durations drive the expansion — forced-duration synthesis for
+        objective eval (evaluate_mcd.py aligns frames by truncation, so
+        ground-truth durations make TTS output comparable to the reference
+        audio)."""
+        predictor = self.networks["predictor"]
+        ae = self.networks["autoencoder"]
+        pvars = self.variables["predictor"]
+        avars = self.variables["autoencoder"]
+        p1 = self._predict_phase1(batch)
+        text, text_length, Lt = p1["text"], p1["text_length"], p1["Lt"]
+        codebooks, durations_dev = p1["codebooks"], p1["durations_dev"]
+        total, total_dev, max_frames = p1["total"], p1["total_dev"], p1["max_frames"]
 
         # Phase 2: expansion + decoding + synthesis (text x frame bucket).
         if self.int8_decoder:
             i8 = self._int8()
-            feat_key = ("syn_feats", Lt, max_frames)
             if i8.scales is None:  # first-batch calibration
-                feat_fn = self._jit_cache.get(feat_key)
-                if feat_fn is None:
-                    @partial(jax.jit, static_argnames=("max_frames",))
-                    def feat_fn(pv, av, text, text_length, dur, cbs, max_frames):
-                        out = predictor.apply(
-                            pv, text, text_length, dur=dur,
-                            max_frames=max_frames, codebooks=cbs,
-                            deterministic=True,
-                        )
-                        return ae.apply(
-                            av, out["feat"], out["feat_length"],
-                            method="synthesis_features", deterministic=True,
-                        )
-
-                    self._jit_cache[feat_key] = feat_fn
+                feat_fn = self._syn_feat_fn(Lt, max_frames)
                 i8.calibrate(feat_fn(
                     pvars, avars, text, text_length,
                     durations_dev.astype(jnp.float32), codebooks,
                     max_frames=max_frames,
-                ))
+                )[1])
             syn_fn = self._jit_cache.get(("syn8", Lt, max_frames))
             if syn_fn is None:
                 from msmctts_tpu.ops.int8_generator import int8_generator_apply

@@ -9,7 +9,11 @@ Endpoints
 POST /synthesize   body {"text": "3_1_0 5_2_0 ..."} (id_tone[_er] phone
                    tokens, synthesize.py contract). Returns audio/wav; with
                    "format": "json" returns {"wav_b64", "sample_rate",
-                   "duration_s", "latency_s"}.
+                   "duration_s", "latency_s"}; with "stream": true returns
+                   a chunked-transfer streaming WAV (unknown-length RIFF
+                   header, then int16 PCM pieces as the vocoder emits them
+                   — time-to-first-audio is one decode chunk, not the whole
+                   utterance).
 GET  /healthz      {"status": "ok"} once warmup finished.
 GET  /stats        engine counters: batching, latency percentiles,
                    device realtime factor.
@@ -53,6 +57,7 @@ def build_engine(args):
         batch_size=args.batch_size,
         window_ms=args.window_ms,
         max_queue=args.max_queue,
+        stream_chunk_frames=args.stream_chunk_frames,
     )
 
 
@@ -63,6 +68,23 @@ def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
     pcm = np.clip(wav, -1.0, 1.0)
     wavfile.write(buf, sr, (pcm * 32767.0).astype(np.int16))
     return buf.getvalue()
+
+
+def pcm16(wav: np.ndarray) -> bytes:
+    return (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+
+
+def streaming_wav_header(sr: int) -> bytes:
+    """RIFF/WAVE header with unknown (0xFFFFFFFF) sizes — the standard
+    convention for live PCM streams (players read until the socket
+    closes)."""
+    import struct
+
+    return b"".join([
+        b"RIFF", struct.pack("<I", 0xFFFFFFFF), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16),
+        b"data", struct.pack("<I", 0xFFFFFFFF),
+    ])
 
 
 def make_handler(engine, ready: threading.Event, request_timeout: float):
@@ -81,6 +103,44 @@ def make_handler(engine, ready: threading.Event, request_timeout: float):
 
         def _json(self, code: int, obj: dict):
             self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def _chunk(self, data: bytes):
+            """One HTTP/1.1 chunked-transfer frame (b'' terminates)."""
+            self.wfile.write(f"{len(data):x}\r\n".encode())
+            self.wfile.write(data)
+            self.wfile.write(b"\r\n")
+
+        def _stream_response(self, text: str):
+            """Chunked streaming WAV: errors before the first audio chunk
+            still get a proper JSON status; after headers are sent a
+            failure can only close the connection."""
+            gen = engine.synthesize_stream(text, timeout=request_timeout)
+            try:
+                first = next(gen, None)
+            except TimeoutError:
+                self._json(504, {"error": "synthesis timed out"})
+                return
+            except RuntimeError as e:
+                code = 503 if "overloaded" in str(e) else 500
+                self._json(code, {"error": str(e)})
+                return
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            try:
+                self._chunk(streaming_wav_header(engine.sample_rate))
+                if first is not None:
+                    self._chunk(pcm16(first))
+                    for piece in gen:
+                        self._chunk(pcm16(piece))
+                self._chunk(b"")  # terminator
+            except (BrokenPipeError, ConnectionResetError):
+                for _ in gen:  # client left; drain so the worker isn't blocked
+                    pass
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -107,6 +167,9 @@ def make_handler(engine, ready: threading.Event, request_timeout: float):
                 text = req["text"]
             except (ValueError, KeyError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
+                return
+            if req.get("stream"):
+                self._stream_response(text)
                 return
             t0 = time.time()
             try:
@@ -154,12 +217,19 @@ def main():
                    help="int8 PTQ HiFi-GAN decoder (1.65x e2e on v5e)")
     p.add_argument("--sample-rate", type=int, default=None)
     p.add_argument("--max-queue", type=int, default=256)
+    p.add_argument("--stream-chunk-frames", type=int, default=64,
+                   help="vocoder frames per streamed chunk "
+                        "('stream': true requests; 64 = 0.8 s at 24 kHz)")
     p.add_argument("--request-timeout", type=float, default=120.0)
     p.add_argument("--no-warmup", action="store_true",
                    help="skip startup pre-compiles (first requests stall)")
     p.add_argument("--warmup-lengths", type=int, nargs="*", default=None,
                    help="text lengths to pre-compile (default: full ladder)")
     args = p.parse_args()
+    from msmctts_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
+
 
     engine = build_engine(args).start()
     ready = threading.Event()

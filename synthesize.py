@@ -31,6 +31,10 @@ def main():
                    help="fixed frame bucket, single device round-trip "
                         "(infer.py's latency mode)")
     args = p.parse_args()
+    from msmctts_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
+
 
     ckpt = load_checkpoint(args.model)
     config = Config(args.config) if args.config else Config(ckpt["config"])

@@ -158,6 +158,130 @@ def test_engine_error_delivery(am_task, monkeypatch):
         eng.stop()
 
 
+def test_streaming_request_matches_monolithic(am_task):
+    """synthesize_stream yields >1 chunk whose concatenation matches the
+    non-streaming result for the same text (the chunked vocoder decode is
+    exact; the shared AM phase is literally the same compiled graph)."""
+    text = "3_1 5_2 7_0 2_1 6_2 4_1"
+    eng = _mk_engine(am_task, window_ms=0.0, stream_chunk_frames=8).start()
+    try:
+        want = eng.synthesize(text, timeout=300)
+        chunks = list(eng.synthesize_stream(text, timeout=300))
+        # (the tiny corpus yields utterances shorter than one decode
+        # window, so chunk-count > 1 is exercised by the fake-task test
+        # below and tests/test_streaming.py, not here)
+        assert len(chunks) >= 1
+        got = np.concatenate(chunks)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # results are delivered before the worker bumps its counters
+        deadline = time.time() + 30
+        while eng.stats.requests < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        snap = eng.stats.snapshot(SR)
+        assert snap["requests"] == 2 and snap["audio_seconds"] > 0
+    finally:
+        eng.stop()
+
+
+def test_streaming_and_blocking_coalesce(am_task):
+    """A streaming and a blocking request ride ONE batch; both results
+    match their solo syntheses (padding rows stay inert through the
+    chunked decode)."""
+    t_stream, t_block = "3_1 5_2 7_0 2_1", "4_2 6_1"
+    eng = _mk_engine(am_task, window_ms=0.0, stream_chunk_frames=8).start()
+    try:
+        solo_s = eng.synthesize(t_stream, timeout=300)
+        solo_b = eng.synthesize(t_block, timeout=300)
+    finally:
+        eng.stop()
+
+    eng = _mk_engine(am_task, window_ms=500.0, stream_chunk_frames=8).start()
+    try:
+        out = {}
+
+        def run_stream():
+            out["s"] = np.concatenate(
+                list(eng.synthesize_stream(t_stream, timeout=300))
+            )
+
+        def run_block():
+            out["b"] = eng.synthesize(t_block, timeout=300)
+
+        threads = [threading.Thread(target=run_stream),
+                   threading.Thread(target=run_block)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # results are delivered BEFORE the worker bumps its counters —
+        # wait for the stats write instead of racing it
+        deadline = time.time() + 30
+        while eng.stats.requests < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        assert eng.stats.batches == 1  # coalesced
+        np.testing.assert_allclose(out["s"], solo_s, atol=1e-5)
+        np.testing.assert_allclose(out["b"], solo_b, atol=1e-5)
+    finally:
+        eng.stop()
+
+
+def test_run_streaming_chunk_plumbing():
+    """_run_streaming slices every vocoder chunk per utterance, trims at
+    each utterance's wav_length, and routes pieces to streaming queues /
+    blocking accumulators — verified against a deterministic fake task
+    (multi-chunk; mixed stream + blocking; different lengths)."""
+
+    class FakeTask:
+        def predict_stream(self, batch, chunk_frames):
+            hop = 1
+            wav_length = np.array([10, 4], np.int64)
+            full = np.arange(24, dtype=np.float32).reshape(2, 12)
+
+            def chunks():
+                for off in range(0, 12, 5):  # 5, 5, 2
+                    yield full[:, off : off + 5]
+
+            return {"wav_length": wav_length, "hop": hop}, chunks()
+
+    from msmctts_tpu.serving import _Request
+
+    eng = BatchingEngine(FakeTask(), sample_rate=SR, batch_size=4,
+                         text_buckets=(8,), stream_chunk_frames=5)
+    r_stream = _Request(np.zeros((3, 2), np.int32), stream=True)
+    r_block = _Request(np.zeros((3, 2), np.int32))
+    audio = eng._run_streaming([r_stream, r_block], batch={})
+    pieces = []
+    while True:
+        item = r_stream.chunk_q.get_nowait()
+        if item is None:
+            break
+        pieces.append(item)
+    assert [p.shape[0] for p in pieces] == [5, 5]  # trimmed at 10
+    np.testing.assert_array_equal(np.concatenate(pieces), np.arange(10.0))
+    assert r_block.done.is_set() and r_block.wav.shape == (4,)
+    np.testing.assert_array_equal(r_block.wav, np.arange(12.0, 16.0))
+    assert abs(audio - 14 / SR) < 1e-9
+
+
+def test_streaming_error_delivery(am_task, monkeypatch):
+    """A device-side failure during a streaming batch surfaces as an
+    exception from the generator, and the worker keeps serving."""
+    eng = _mk_engine(am_task, stream_chunk_frames=8).start()
+    try:
+        def boom(batch, chunk_frames):
+            raise RuntimeError("injected streaming failure")
+
+        monkeypatch.setattr(am_task, "predict_stream", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            list(eng.synthesize_stream("3_1 5_2", timeout=300))
+        monkeypatch.undo()
+        wav = eng.synthesize("3_1 5_2", timeout=300)  # still serving
+        assert np.isfinite(wav).all()
+    finally:
+        eng.stop()
+
+
 def test_http_server_end_to_end(am_task):
     """serve.py's handler over a real socket: WAV bytes, JSON mode,
     health + stats."""
@@ -214,6 +338,20 @@ def test_http_server_end_to_end(am_task):
         sr2, pcm2 = wavfile.read(io.BytesIO(wav_blob))
         assert sr2 == SR and pcm2.shape[0] > 0
         assert payload["duration_s"] > 0 and payload["sample_rate"] == SR
+
+        # streaming mode: chunked-transfer WAV whose PCM matches the
+        # non-streaming request for the same text (16-bit quantization may
+        # flip the last bit where the float paths round differently)
+        status, ctype, data = request(
+            "POST", "/synthesize", {"text": "3_1 5_2 7_0", "stream": True}
+        )
+        assert status == 200 and ctype == "audio/wav"
+        assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+        pcm_stream = np.frombuffer(data[44:], dtype="<i2")
+        assert pcm_stream.shape == pcm.shape
+        np.testing.assert_allclose(
+            pcm_stream.astype(np.int32), pcm.astype(np.int32), atol=1
+        )
 
         # bad input -> 400
         status, _, _ = request("POST", "/synthesize", {"nope": 1})

@@ -37,10 +37,9 @@ def main():
                         "pre-imports jax (see tests/conftest.py)")
     args = parser.parse_args()
 
-    if args.platform:
-        import jax
+    from msmctts_tpu.utils.platform import honor_env_platform
 
-        jax.config.update("jax_platforms", args.platform)
+    honor_env_platform(args.platform)
     if args.coordinator:
         import jax
 
