@@ -119,6 +119,11 @@ class BatchingEngine:
         request of a batch arrives. 0 disables coalescing (latency mode).
     text_buckets: ladder of padded text lengths (each is a compiled shape).
     max_queue: backpressure bound; ``synthesize`` raises when full.
+    mesh: optional ``jax.sharding.Mesh`` — serve one model data-parallel
+        from all its devices (``MSMCTTS.use_mesh``): the pinned batch is
+        sharded over the mesh's data axis, so a pod slice behaves like one
+        ``mesh.size``-times-faster chip behind the same queue.
+        ``batch_size`` must divide by ``mesh.size``.
     """
 
     def __init__(
@@ -130,9 +135,17 @@ class BatchingEngine:
         text_buckets: Sequence[int] = TEXT_BUCKETS,
         max_queue: int = 256,
         stream_chunk_frames: int = 64,
+        mesh=None,
     ):
         if batch_size < 1:
             raise ValueError("batch_size must be >= 1")
+        if mesh is not None:
+            if batch_size % mesh.size:
+                raise ValueError(
+                    f"batch_size {batch_size} does not divide the "
+                    f"{mesh.size}-device mesh"
+                )
+            task.use_mesh(mesh)
         self.task = task
         self.sample_rate = int(sample_rate)
         self.batch_size = int(batch_size)

@@ -224,9 +224,55 @@ class MSMCTTS(BaseTask):
         # first-batch-calibrated static activation scales, measured 1.2x
         # the bf16 decoder on v5e (ops/int8_generator.py).
         self.int8_decoder: bool = False
+        # Optional data-parallel inference mesh (``use_mesh``).
+        self._mesh = None
         from msmctts_tpu.parallel.precision import compute_dtype
 
         self.compute_dtype = compute_dtype(config)
+
+    # -------------------------------------------------------------- mesh
+    def use_mesh(self, mesh) -> "MSMCTTS":
+        """Data-parallel inference over a ``jax.sharding.Mesh`` — serving
+        one model from a pod slice (the reference's only inference surface
+        is single-device, /root/reference/infer.py:45-91). Variables are
+        replicated across the mesh once; every infer-path batch is placed
+        sharded over its leading (batch) axis, so the SAME per-shape jit
+        graphs compile to SPMD programs with XLA inserting the
+        collectives. Batch sizes must divide by ``mesh.size``. Pass
+        ``None`` to return to single-device placement."""
+        from msmctts_tpu.parallel.mesh import replicated
+
+        self._mesh = mesh
+        # Cached codebooks / int8 state / executables carry the previous
+        # placement; rebuild lazily under the new one.
+        self._jit_cache.clear()
+        if self.variables:
+            where = (
+                replicated(mesh) if mesh is not None else jax.devices()[0]
+            )
+            self.variables = {
+                k: jax.device_put(v, where) for k, v in self.variables.items()
+            }
+        return self
+
+    def _place(self, x):
+        """One batch-leading array onto the device(s): sharded over the
+        mesh's data axis when a mesh is active, default placement
+        otherwise."""
+        if self._mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec
+        from msmctts_tpu.parallel.mesh import DATA_AXIS
+
+        x = np.asarray(x)
+        if x.shape[0] % self._mesh.size:
+            raise ValueError(
+                f"batch size {x.shape[0]} does not divide the "
+                f"{self._mesh.size}-device inference mesh"
+            )
+        return jax.device_put(
+            x, NamedSharding(self._mesh, PartitionSpec(DATA_AXIS))
+        )
 
     def _cast(self, variables: dict) -> dict:
         """Inference-time precision: cast params to the compute dtype
@@ -251,6 +297,8 @@ class MSMCTTS(BaseTask):
                         v["batch_stats"] = bs
                 self.variables[name] = self._cast(v)
         self._jit_cache.pop("codebooks", None)
+        if self._mesh is not None:
+            self.use_mesh(self._mesh)  # re-replicate the fresh variables
 
     def pre_infer(self):
         self._loaded_modules = True
@@ -289,7 +337,7 @@ class MSMCTTS(BaseTask):
                 )
                 self._jit_cache["analysis"] = an_fn
             q = an_fn(
-                variables, jnp.asarray(batch["mel"]), jnp.asarray(batch["mel_length"])
+                variables, self._place(batch["mel"]), self._place(batch["mel_length"])
             )
             out["indices"] = [np.asarray(x) for x in q["quantizer_indices"]]
             out["embedding"] = [np.asarray(x) for x in q["quantizer_outputs"]]
@@ -316,8 +364,8 @@ class MSMCTTS(BaseTask):
         ae = self.networks["autoencoder"]
         variables = self.variables["autoencoder"]
         T = int(batch["mel"].shape[1])
-        mel = jnp.asarray(batch["mel"])
-        mel_length = jnp.asarray(batch["mel_length"])
+        mel = self._place(batch["mel"])
+        mel_length = self._place(batch["mel_length"])
 
         if self.int8_decoder:
             feat_fn = self._jit_cache.get(("ae_feats", T))
@@ -378,12 +426,16 @@ class MSMCTTS(BaseTask):
         codebooks = self._jit_cache.get("codebooks")
         if codebooks is None:
             codebooks = [jnp.asarray(c) for c in extract_codebooks(avars)]
+            if self._mesh is not None:
+                from msmctts_tpu.parallel.mesh import replicated
+
+                codebooks = jax.device_put(codebooks, replicated(self._mesh))
             self._jit_cache["codebooks"] = codebooks
         scales = list(predictor.n_pred_scale)
         lcm = math.lcm(*scales) if scales else 1
 
-        text = jnp.asarray(batch["text"])
-        text_length = jnp.asarray(batch["text_length"])
+        text = self._place(batch["text"])
+        text_length = self._place(batch["text_length"])
         Lt = int(text.shape[1])
 
         if "dur" in batch:
@@ -391,7 +443,7 @@ class MSMCTTS(BaseTask):
             given = np.asarray(batch["dur"], np.float32)
             mask = np.arange(given.shape[1])[None, :] < np.asarray(batch["text_length"])[:, None]
             given = np.round(np.maximum(given, 0.0)) * mask
-            durations_dev = jnp.asarray(given)
+            durations_dev = self._place(given)
             total = given.sum(axis=1).astype(np.int64)
             total_dev = jnp.asarray(total)
         else:

@@ -50,6 +50,12 @@ def build_engine(args):
         task.static_max_frames = args.static_frames
     if args.int8:
         task.int8_decoder = True
+    mesh = None
+    if args.mesh_devices != 1:
+        from msmctts_tpu.parallel.mesh import make_mesh
+
+        n = None if args.mesh_devices in (0, -1) else args.mesh_devices
+        mesh = make_mesh(n)
     sr = args.sample_rate or int(config.dataset["samplerate"])
     return BatchingEngine(
         task,
@@ -58,6 +64,7 @@ def build_engine(args):
         window_ms=args.window_ms,
         max_queue=args.max_queue,
         stream_chunk_frames=args.stream_chunk_frames,
+        mesh=mesh,
     )
 
 
@@ -215,6 +222,9 @@ def main():
                    help="single-round-trip latency mode (fixed frame bucket)")
     p.add_argument("--int8", action="store_true",
                    help="int8 PTQ HiFi-GAN decoder (1.65x e2e on v5e)")
+    p.add_argument("--mesh-devices", type=int, default=1, metavar="N",
+                   help="serve data-parallel from the first N devices "
+                        "(-1 = all); batch-size must divide N")
     p.add_argument("--sample-rate", type=int, default=None)
     p.add_argument("--max-queue", type=int, default=256)
     p.add_argument("--stream-chunk-frames", type=int, default=64,

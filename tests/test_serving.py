@@ -368,3 +368,79 @@ def test_http_server_end_to_end(am_task):
         server.shutdown()
         srv_thread.join(timeout=10)
         eng.stop()
+
+
+# ---------------------------------------------------------------- mesh
+
+def test_mesh_engine_matches_single_device(am_task):
+    """Data-parallel serving (MSMCTTS.use_mesh over the virtual 8-device
+    mesh): every waveform is identical to single-device serving — the
+    batch shard + XLA SPMD compile is numerically inert — and streaming
+    still chunks exactly."""
+    import jax
+
+    from msmctts_tpu.parallel.mesh import make_mesh
+
+    texts = ["3_1 5_2 7_0 2_1", "4_2 6_1", "1_1 2_2 3_3 4_4 5_0 6_1"]
+    eng = _mk_engine(am_task, window_ms=0.0).start()
+    try:
+        solo = [eng.synthesize(t, timeout=300) for t in texts]
+    finally:
+        eng.stop()
+
+    mesh = make_mesh(4)  # batch_size 4 must divide the mesh
+    try:
+        eng = _mk_engine(am_task, window_ms=0.0, mesh=mesh).start()
+        try:
+            for t, want in zip(texts, solo):
+                got = eng.synthesize(t, timeout=300)
+                np.testing.assert_allclose(got, want, atol=1e-6)
+            chunks = list(eng.synthesize_stream(texts[0], timeout=300))
+            np.testing.assert_allclose(
+                np.concatenate(chunks), solo[0], atol=1e-6
+            )
+        finally:
+            eng.stop()
+        # the variables really live on all 8 devices
+        leaf = jax.tree_util.tree_leaves(am_task.variables["predictor"])[0]
+        assert len(leaf.sharding.device_set) == 4
+    finally:
+        am_task.use_mesh(None)
+    leaf = jax.tree_util.tree_leaves(am_task.variables["predictor"])[0]
+    assert len(leaf.sharding.device_set) == 1
+
+
+def test_mesh_batch_divisibility(am_task):
+    from msmctts_tpu.parallel.mesh import make_mesh
+
+    try:
+        with pytest.raises(ValueError, match="divide"):
+            BatchingEngine(
+                am_task, sample_rate=SR, batch_size=3, mesh=make_mesh(8)
+            )
+    finally:
+        am_task.use_mesh(None)
+
+
+def test_mesh_analysis_synthesis_matches_single_device(am_task):
+    """AE-mode inference (analysis_synthesis) under the mesh: identical
+    waveforms to single-device for a batch sharded 8 ways."""
+    from msmctts_tpu.config import Config
+    from msmctts_tpu.parallel.mesh import make_mesh
+
+    ae_ckpt = am_task.config.task["autoencoder"]["_checkpoint"]
+    ckpt = load_checkpoint(ae_ckpt)
+    task = build_task(Config(ckpt["config"]), mode="infer")
+    task.load_variables(ckpt["state"])
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "mel": rng.normal(size=(8, 16, 8)).astype(np.float32),
+        "mel_length": np.asarray([16, 12, 16, 8, 16, 16, 4, 16], np.int64),
+    }
+    want = task.infer_step(batch)["wav"]
+    task.use_mesh(make_mesh(8))
+    got = task.infer_step(batch)["wav"]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-6)
