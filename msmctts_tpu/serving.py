@@ -154,6 +154,8 @@ class BatchingEngine:
         self.text_buckets = tuple(sorted(text_buckets))
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue(maxsize=max_queue)
         self._lock = threading.Lock()
+        # Serializes device batches against hot weight swaps (``reload``).
+        self._model_lock = threading.Lock()
         self.stats = ServingStats()
         self._thread: Optional[threading.Thread] = None
         self._stopping = False
@@ -206,6 +208,17 @@ class BatchingEngine:
             }
             self.task.infer_step(batch)
         return time.time() - t0
+
+    def reload(self, state: dict) -> None:
+        """Hot-swap model weights with zero downtime (rolling deploys,
+        trainer-to-server promotion). ``state`` is a checkpoint state tree
+        (``load_checkpoint(path)["state"]``). The swap happens between
+        device batches: in-flight requests finish on the old weights,
+        queued ones run on the new. No recompile — the per-shape graphs
+        take variables as arguments; weight-derived caches (snapped
+        codebooks, int8 PTQ state) are rebuilt lazily."""
+        with self._model_lock:
+            self.task.load_variables(state)
 
     # -- request path --------------------------------------------------
 
@@ -379,7 +392,8 @@ class BatchingEngine:
             if reqs is None:
                 return
             try:
-                self._run_batch(reqs)
+                with self._model_lock:
+                    self._run_batch(reqs)
             except BaseException as e:  # deliver, don't kill the worker
                 with self._lock:
                     self.stats.errors += len(reqs)

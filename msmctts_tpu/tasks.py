@@ -296,7 +296,16 @@ class MSMCTTS(BaseTask):
                     if bs:  # quantizer norm:True running stats
                         v["batch_stats"] = bs
                 self.variables[name] = self._cast(v)
-        self._jit_cache.pop("codebooks", None)
+        # Drop every cache entry derived from the PREVIOUS weights: the
+        # snapped codebooks, the int8 PTQ decoder (quantized params +
+        # calibrated activation scales), and the jitted graphs that close
+        # over that int8 state. Shape-keyed graphs taking variables as
+        # arguments stay valid across reloads.
+        for k in list(self._jit_cache):
+            if k in ("codebooks", "int8") or (
+                isinstance(k, tuple) and k and k[0] in ("syn8", "ae8", "stream")
+            ):
+                self._jit_cache.pop(k)
         if self._mesh is not None:
             self.use_mesh(self._mesh)  # re-replicate the fresh variables
 

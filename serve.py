@@ -161,6 +161,28 @@ def make_handler(engine, ready: threading.Event, request_timeout: float):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path == "/reload":
+                # zero-downtime weight swap: {"model": <checkpoint path>}
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    path = req["model"]
+                except (ValueError, KeyError) as e:
+                    self._json(400, {"error": f"bad request: {e}"})
+                    return
+                from msmctts_tpu.utils.checkpoint import load_checkpoint
+
+                try:
+                    t0 = time.time()
+                    engine.reload(load_checkpoint(path)["state"])
+                except (OSError, KeyError) as e:
+                    self._json(400, {"error": f"cannot load {path}: {e}"})
+                    return
+                self._json(
+                    200, {"status": "reloaded", "model": path,
+                          "swap_s": round(time.time() - t0, 3)}
+                )
+                return
             if self.path != "/synthesize":
                 self._json(404, {"error": "not found"})
                 return
