@@ -119,12 +119,16 @@ def save_artifacts(
         with open(os.path.join(out_dir, name), "wb") as f:
             f.write(exp.serialize())
         modules[str(lt)] = name
+    n_symbols = task.networks["predictor"].n_symbols
     manifest = {
         "kind": "msmctts-tpu stablehlo tts",
         "batch_size": batch_size,
         "max_frames": max_frames,
         "hop": hop,
         "sample_rate": int(sample_rate),
+        "n_streams": len(n_symbols)
+        if isinstance(n_symbols, (list, tuple))
+        else 1,
         "platforms": list(platforms),
         "modules": modules,
         "io": "fn(text[B,Lt,S] i32, text_length[B] i32) -> "
@@ -139,7 +143,13 @@ def save_artifacts(
 class ExportedTTS:
     """Serve synthesis from a ``save_artifacts`` directory — no model
     code, config, or checkpoint needed; modules deserialize lazily per
-    text bucket."""
+    text bucket.
+
+    Duck-types the slice of the ``MSMCTTS`` infer surface the serving
+    engine uses (``infer_step``/``n_streams``), so ``BatchingEngine`` — and
+    ``serve.py --artifact`` — run straight off the artifact. Batch size
+    and text buckets are fixed by the export; streaming requires the task
+    path (chunked decode is not part of the exported monolith)."""
 
     def __init__(self, art_dir: str):
         with open(os.path.join(art_dir, MANIFEST)) as f:
@@ -147,6 +157,7 @@ class ExportedTTS:
         self.dir = art_dir
         self.batch_size = int(self.manifest["batch_size"])
         self.sample_rate = int(self.manifest["sample_rate"])
+        self.n_streams = int(self.manifest.get("n_streams", 1))
         self.buckets = sorted(int(k) for k in self.manifest["modules"])
         self._loaded = {}
 
@@ -172,3 +183,13 @@ class ExportedTTS:
         )
         wav, wav_length = np.asarray(wav), np.asarray(wav_length)
         return [w[:n] for w, n in zip(wav, wav_length)]
+
+    # ---- BatchingEngine task surface (msmctts_tpu/serving.py) ----
+    def infer_step(self, batch: dict) -> dict:
+        return {"wav": self.synthesize(batch["text"], batch["text_length"])}
+
+    def predict_stream(self, batch: dict, chunk_frames: int = 64):
+        raise NotImplementedError(
+            "streaming needs the task path (serve.py -m <checkpoint>); "
+            "exported modules are monolithic"
+        )

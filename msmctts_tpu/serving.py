@@ -217,6 +217,11 @@ class BatchingEngine:
         queued ones run on the new. No recompile — the per-shape graphs
         take variables as arguments; weight-derived caches (snapped
         codebooks, int8 PTQ state) are rebuilt lazily."""
+        if not hasattr(self.task, "load_variables"):
+            raise RuntimeError(
+                "hot reload needs the checkpoint-backed task path; "
+                "exported StableHLO artifacts are immutable"
+            )
         with self._model_lock:
             self.task.load_variables(state)
 
@@ -287,6 +292,8 @@ class BatchingEngine:
     # -- worker --------------------------------------------------------
 
     def _n_streams(self) -> int:
+        if hasattr(self.task, "n_streams"):  # ExportedTTS artifact
+            return int(self.task.n_streams)
         n_symbols = self.task.networks["predictor"].n_symbols
         return len(n_symbols) if isinstance(n_symbols, (list, tuple)) else 1
 

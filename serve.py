@@ -42,6 +42,21 @@ def build_engine(args):
     from msmctts_tpu.tasks import build_task
     from msmctts_tpu.utils.checkpoint import load_checkpoint
 
+    if args.artifact:
+        # Deployment mode: serve straight from exported StableHLO modules
+        # (tools/export_tts.py) — no model code, config, or checkpoint.
+        from msmctts_tpu.export import ExportedTTS
+
+        art = ExportedTTS(args.artifact)
+        return BatchingEngine(
+            art,
+            sample_rate=args.sample_rate or art.sample_rate,
+            batch_size=art.batch_size,
+            window_ms=args.window_ms,
+            text_buckets=art.buckets,
+            max_queue=args.max_queue,
+        )
+
     ckpt = load_checkpoint(args.model)
     config = Config(args.config) if args.config else Config(ckpt["config"])
     task = build_task(config, mode="infer")
@@ -175,7 +190,7 @@ def make_handler(engine, ready: threading.Event, request_timeout: float):
                 try:
                     t0 = time.time()
                     engine.reload(load_checkpoint(path)["state"])
-                except (OSError, KeyError) as e:
+                except (OSError, KeyError, RuntimeError) as e:
                     self._json(400, {"error": f"cannot load {path}: {e}"})
                     return
                 self._json(
@@ -234,7 +249,11 @@ def make_handler(engine, ready: threading.Event, request_timeout: float):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("-m", "--model", required=True, help="AM checkpoint")
+    p.add_argument("-m", "--model", default=None, help="AM checkpoint")
+    p.add_argument("--artifact", default=None, metavar="DIR",
+                   help="serve from an exported StableHLO artifact dir "
+                        "(tools/export_tts.py) instead of a checkpoint; "
+                        "batch size and text buckets come from its manifest")
     p.add_argument("-c", "--config", default=None)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
@@ -258,6 +277,8 @@ def main():
     p.add_argument("--warmup-lengths", type=int, nargs="*", default=None,
                    help="text lengths to pre-compile (default: full ladder)")
     args = p.parse_args()
+    if not args.model and not args.artifact:
+        p.error("one of -m/--model or --artifact is required")
     from msmctts_tpu.utils.platform import honor_env_platform
 
     honor_env_platform()

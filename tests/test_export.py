@@ -92,3 +92,44 @@ def test_artifact_is_self_contained(am_task, tmp_path):
     assert all(np.isfinite(w).all() and w.ndim == 1 for w in wavs)
     with pytest.raises(ValueError, match="no exported module"):
         art.synthesize(np.zeros((2, 12, 2), np.int32), np.asarray([4, 4]))
+
+
+def test_engine_serves_artifact(am_task, tmp_path):
+    """BatchingEngine over an ExportedTTS artifact: same audio as over the
+    live task in static-frame mode; streaming and reload fail cleanly."""
+    from msmctts_tpu.serving import BatchingEngine
+
+    out = str(tmp_path / "art3")
+    save_artifacts(
+        am_task, out, batch_size=4, text_lengths=[8, 16], max_frames=64,
+        sample_rate=1600, platforms=("cpu",),
+    )
+    from msmctts_tpu.export import ExportedTTS
+
+    art = ExportedTTS(out)
+    text = "3_1 5_2 7_0 2_1"
+
+    eng = BatchingEngine(
+        art, sample_rate=1600, batch_size=art.batch_size,
+        text_buckets=art.buckets, window_ms=0.0,
+    ).start()
+    try:
+        wav_art = eng.synthesize(text, timeout=300)
+        with pytest.raises(NotImplementedError, match="streaming"):
+            list(eng.synthesize_stream(text, timeout=300))
+        with pytest.raises(RuntimeError, match="immutable"):
+            eng.reload({})
+    finally:
+        eng.stop()
+
+    am_task.static_max_frames = 64
+    eng = BatchingEngine(
+        am_task, sample_rate=1600, batch_size=4,
+        text_buckets=art.buckets, window_ms=0.0,
+    ).start()
+    try:
+        wav_task = eng.synthesize(text, timeout=300)
+    finally:
+        eng.stop()
+        am_task.static_max_frames = None
+    np.testing.assert_allclose(wav_art, wav_task, atol=1e-6)
