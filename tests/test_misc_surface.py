@@ -250,3 +250,50 @@ def test_registry_populates_after_partial_import():
     )
     assert out.returncode == 0, out.stderr[-1500:]
     assert "resolved" in out.stdout
+
+
+def test_synthetic_train_derive_config(tmp_path):
+    """examples/csmsc/scripts/synthetic_train.py derives full-size CSMSC
+    configs pointed at a synthetic corpus: dataset paths, step/ckpt
+    cadence, AE warmup override, AM frozen-AE checkpoint + zeroed
+    dropouts (the r2 dropout-shift finding)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "synthetic_train", "examples/csmsc/scripts/synthetic_train.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import yaml
+
+    out = str(tmp_path)
+    p = mod.derive_config("ae", "/corpus", out, steps=123, ckpt_every=7,
+                          ae_checkpoint=None)
+    cfg = yaml.safe_load(open(p))
+    assert cfg["dataset"]["id_list"] == "/corpus/train.list"
+    assert cfg["dataset"]["feature_path"][0] == "/corpus/mel/{}.npy"
+    assert cfg["training_steps"] == 123
+    assert cfg["iters_per_checkpoint"] == 7
+    assert cfg["trainer"]["warmup_steps"] == 2000
+    assert cfg["save_checkpoint_dir"] == os.path.join(out, "ckpt_ae")
+
+    p = mod.derive_config("am", "/corpus", out, steps=5, ckpt_every=5,
+                          ae_checkpoint="/ck/model_1")
+    cfg = yaml.safe_load(open(p))
+    assert cfg["task"]["autoencoder"]["_checkpoint"] == "/ck/model_1"
+    assert cfg["dataset"]["feature_path"] == [
+        "/corpus/phone.txt", "/corpus/dur.txt", "/corpus/mel/{}.npy"
+    ]
+
+    def dropouts(node, acc):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k.endswith("dropout"):
+                    acc.append(v)
+                else:
+                    dropouts(v, acc)
+        return acc
+
+    vals = dropouts(cfg["task"]["predictor"], [])
+    assert vals and all(v == 0.0 for v in vals)
