@@ -62,6 +62,10 @@ def main():
                         help="TTS latency mode: fixed frame bucket, one "
                              "device round-trip per batch (pays padded "
                              "synthesis compute; pick ~the corpus max)")
+    parser.add_argument("--mesh-devices", type=int, default=1, metavar="N",
+                        help="shard every inference batch over the first N "
+                             "devices (-1 = all); ragged final batches are "
+                             "padded by repeating the last row and trimmed")
     args = parser.parse_args()
     from msmctts_tpu.utils.platform import honor_env_platform
 
@@ -84,6 +88,12 @@ def main():
         task.static_max_frames = args.static_frames
     if args.int8:
         task.int8_decoder = True
+    mesh = None
+    if args.mesh_devices != 1:
+        from msmctts_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(None if args.mesh_devices in (0, -1) else args.mesh_devices)
+        task.use_mesh(mesh)
 
     ds_node = config.get("testset", config.dataset)
     test_config = Config(config.to_dict())
@@ -98,8 +108,13 @@ def main():
     total = 0
     for batch in finite_loader(dataset, args.batch_size):
         ids = batch.pop("_id", None)
+        n = len(next(iter(batch.values())))
+        if mesh is not None and n % mesh.size:
+            pad = mesh.size - n % mesh.size
+            batch = {
+                k: np.concatenate([v] + [v[-1:]] * pad) for k, v in batch.items()
+            }
         output = step_fn(batch)
-        n = len(next(iter(output.values())))
         total += n
         for j in range(n):
             case = dataset.id_list[int(ids[j])] if ids is not None else (str(j),)
