@@ -31,3 +31,27 @@ def honor_env_platform(explicit: str | None = None) -> str | None:
 
         jax.config.update("jax_platforms", want)
     return want
+
+
+def enable_compilation_cache(path: str | None = None) -> str | None:
+    """Persistent XLA compilation cache for the CLI entry points.
+
+    Restart-on-crash training supervisors (the axon client H2D leak makes
+    long feeds restart, CLAUDE.md) and serving warmups re-load serialized
+    executables instead of recompiling — full-size graphs cost minutes per
+    compile on remote-attached TPUs. Default location
+    ``~/.cache/msmctts_tpu/jax``; override with ``MSMCTTS_COMPILE_CACHE=
+    <dir>``; disable with ``MSMCTTS_COMPILE_CACHE=0``. Call before the
+    first compile."""
+    env = os.environ.get("MSMCTTS_COMPILE_CACHE", "")
+    if env == "0":
+        return None
+    path = path or env or os.path.expanduser("~/.cache/msmctts_tpu/jax")
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+    except (OSError, AttributeError):  # read-only fs / very old jax
+        return None
+    return path

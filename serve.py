@@ -282,6 +282,9 @@ def main():
     from msmctts_tpu.utils.platform import honor_env_platform
 
     honor_env_platform()
+    from msmctts_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
 
 
     engine = build_engine(args).start()

@@ -34,6 +34,9 @@ def main():
     from msmctts_tpu.utils.platform import honor_env_platform
 
     honor_env_platform()
+    from msmctts_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
 
 
     ckpt = load_checkpoint(args.model)

@@ -40,6 +40,9 @@ def main():
     from msmctts_tpu.utils.platform import honor_env_platform
 
     honor_env_platform(args.platform)
+    from msmctts_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.coordinator:
         import jax
 
