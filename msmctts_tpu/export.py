@@ -32,12 +32,15 @@ import numpy as np
 MANIFEST = "manifest.json"
 
 
-def build_tts_fn(task, max_frames: int):
+def build_tts_fn(task, max_frames: int, int8: bool = False):
     """The pure text->waveform function of an infer-mode ``MSMCTTS`` task
     with variables loaded, weights closed over (they become artifact
     constants). Mirrors ``MSMCTTS.predict`` in single-round-trip
     (``static_max_frames``) mode: durations predicted in-graph, frame
-    bucket fixed at ``max_frames``."""
+    bucket fixed at ``max_frames``. With ``int8``, the HiFi-GAN decode
+    uses the task's CALIBRATED PTQ decoder (``task._int8()`` — run one
+    int8 inference first so the static activation scales exist); the
+    quantized weights and scales freeze into the artifact."""
     import jax.numpy as jnp
 
     from msmctts_tpu.tasks import extract_codebooks
@@ -48,6 +51,14 @@ def build_tts_fn(task, max_frames: int):
     avars = task.variables["autoencoder"]
     codebooks = [jnp.asarray(c) for c in extract_codebooks(avars)]
     hop = int(np.prod(np.asarray(ae.decoder_config["upsample_rates"])))
+    i8 = None
+    if int8:
+        i8 = task._int8()
+        if i8.scales is None:
+            raise ValueError(
+                "int8 export needs calibrated activation scales: run one "
+                "inference with task.int8_decoder=True first"
+            )
 
     def fn(text, text_length):
         dur = predictor.apply(
@@ -61,10 +72,22 @@ def build_tts_fn(task, max_frames: int):
             pvars, text, text_length, dur=dur, max_frames=max_frames,
             codebooks=codebooks, deterministic=True,
         )
-        wav = ae.apply(
-            avars, out["feat"], out["feat_length"], method="synthesis",
-            deterministic=True,
-        )[..., 0]
+        if i8 is not None:
+            from msmctts_tpu.ops.int8_generator import int8_generator_apply
+
+            feats = ae.apply(
+                avars, out["feat"], out["feat_length"],
+                method="synthesis_features", deterministic=True,
+            )
+            wav = int8_generator_apply(
+                i8.qparams, feats, i8.decoder_config, dtype=i8.dtype,
+                act_scales=i8.scales,
+            )[..., 0]
+        else:
+            wav = ae.apply(
+                avars, out["feat"], out["feat_length"], method="synthesis",
+                deterministic=True,
+            )[..., 0]
         mel_length = jnp.minimum(total, max_frames)
         # frames here are the FINE-stage frames; one frame = `hop` samples
         # only after the x(frameshift/fine-scale) expansion inside
@@ -85,6 +108,7 @@ def export_tts(
     text_length: int,
     max_frames: int,
     platforms: Sequence[str] = ("cpu", "tpu"),
+    int8: bool = False,
 ):
     """Export one (B, Lt, F) TTS module. Returns ``jax.export.Exported``."""
     import jax
@@ -92,7 +116,7 @@ def export_tts(
 
     n_symbols = task.networks["predictor"].n_symbols
     n_streams = len(n_symbols) if isinstance(n_symbols, (list, tuple)) else 1
-    fn, _ = build_tts_fn(task, max_frames)
+    fn, _ = build_tts_fn(task, max_frames, int8=int8)
     args = (
         jax.ShapeDtypeStruct((batch_size, text_length, n_streams), np.int32),
         jax.ShapeDtypeStruct((batch_size,), np.int32),
@@ -108,13 +132,14 @@ def save_artifacts(
     max_frames: int,
     sample_rate: int,
     platforms: Sequence[str] = ("cpu", "tpu"),
+    int8: bool = False,
 ) -> dict:
     """Export one module per text bucket and write them plus a manifest."""
     os.makedirs(out_dir, exist_ok=True)
-    _, hop = build_tts_fn(task, max_frames)
+    _, hop = build_tts_fn(task, max_frames, int8=int8)
     modules = {}
     for lt in sorted(set(int(l) for l in text_lengths)):
-        exp = export_tts(task, batch_size, lt, max_frames, platforms)
+        exp = export_tts(task, batch_size, lt, max_frames, platforms, int8=int8)
         name = f"tts_b{batch_size}_l{lt}_f{max_frames}.shlo"
         with open(os.path.join(out_dir, name), "wb") as f:
             f.write(exp.serialize())
@@ -130,6 +155,7 @@ def save_artifacts(
         if isinstance(n_symbols, (list, tuple))
         else 1,
         "platforms": list(platforms),
+        "int8": bool(int8),
         "modules": modules,
         "io": "fn(text[B,Lt,S] i32, text_length[B] i32) -> "
               "(wav[B, max_frames*ratio] f32, wav_length[B] i32, "

@@ -133,3 +133,46 @@ def test_engine_serves_artifact(am_task, tmp_path):
         eng.stop()
         am_task.static_max_frames = None
     np.testing.assert_allclose(wav_art, wav_task, atol=1e-6)
+
+
+def test_int8_artifact_matches_task_path(am_task, tmp_path):
+    """int8 export: the calibrated PTQ decoder freezes into the artifact
+    and reproduces the task's --int8 static-frame path."""
+    text, text_length = _batch()
+    am_task.int8_decoder = True
+    am_task.static_max_frames = 64
+    try:
+        want = am_task.predict(  # first call calibrates the act scales
+            {"text": text, "text_length": text_length}
+        )
+        out = str(tmp_path / "art8")
+        m = save_artifacts(
+            am_task, out, batch_size=2, text_lengths=[8], max_frames=64,
+            sample_rate=1600, platforms=("cpu",), int8=True,
+        )
+        assert m["int8"] is True
+        art = ExportedTTS(out)
+        wavs_art = art.synthesize(text, text_length)
+        for w_art, w_task in zip(wavs_art, want["wav"]):
+            w_task = np.asarray(w_task, np.float32)
+            assert w_art.shape == w_task.shape
+            np.testing.assert_allclose(w_art, w_task, atol=1e-6)
+    finally:
+        am_task.int8_decoder = False
+        am_task.static_max_frames = None
+        am_task._jit_cache.pop("int8", None)
+
+
+def test_int8_export_requires_calibration(am_task, tmp_path):
+    am_task.int8_decoder = True
+    try:
+        am_task._jit_cache.pop("int8", None)
+        with pytest.raises(ValueError, match="calibrat"):
+            save_artifacts(
+                am_task, str(tmp_path / "x"), batch_size=2,
+                text_lengths=[8], max_frames=64, sample_rate=1600,
+                platforms=("cpu",), int8=True,
+            )
+    finally:
+        am_task.int8_decoder = False
+        am_task._jit_cache.pop("int8", None)

