@@ -297,3 +297,24 @@ def test_synthetic_train_derive_config(tmp_path):
 
     vals = dropouts(cfg["task"]["predictor"], [])
     assert vals and all(v == 0.0 for v in vals)
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    from msmctts_tpu.utils.platform import enable_compilation_cache
+
+    d = str(tmp_path / "cc")
+    monkeypatch.setenv("MSMCTTS_COMPILE_CACHE", d)
+    assert enable_compilation_cache() == d
+    assert os.path.isdir(d)
+    assert jax.config.jax_compilation_cache_dir == d
+
+    monkeypatch.setenv("MSMCTTS_COMPILE_CACHE", "0")
+    assert enable_compilation_cache() is None
+
+    # explicit path wins over env
+    monkeypatch.delenv("MSMCTTS_COMPILE_CACHE")
+    d2 = str(tmp_path / "cc2")
+    assert enable_compilation_cache(d2) == d2
+    # restore the suite's cache dir (conftest set it process-wide)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
