@@ -518,3 +518,30 @@ def test_hot_reload_under_concurrent_traffic(am_task):
         assert all(r is not None and r.shape[0] > 0 for r in results)
     finally:
         eng.stop()
+
+
+def test_mesh_int8_matches_single_device(am_task):
+    """The int8 PTQ decoder under the inference mesh: calibration and
+    decode run as SPMD programs (qparams enter as replicated host arrays)
+    and reproduce the single-device int8 output exactly."""
+    from msmctts_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(1)
+    text = rng.integers(1, 5, size=(8, 8, 2)).astype(np.int32)
+    batch = {"text": text,
+             "text_length": np.asarray([8, 6, 8, 5, 8, 8, 7, 8], np.int32)}
+
+    am_task.int8_decoder = True
+    try:
+        am_task._jit_cache.pop("int8", None)
+        want = am_task.infer_step(batch)
+        am_task.use_mesh(make_mesh(8))
+        got = am_task.infer_step(batch)
+        for g, w in zip(got["wav"], want["wav"]):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=1e-6
+            )
+    finally:
+        am_task.int8_decoder = False
+        am_task.use_mesh(None)
+        am_task._jit_cache.pop("int8", None)
