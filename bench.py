@@ -67,11 +67,12 @@ def _rand_text(rng, B, Lt, n_symbols):
     return np.stack(cols, axis=-1).astype(np.int32)
 
 
-def _ae_module(dtype_unused, vq_pallas):
+def _ae_module(dtype_unused, vq_pallas, istft=False):
     from msmctts_tpu.config import component_kwargs, load_yaml
     from msmctts_tpu.models.msmc_vqgan import MSMCVQGAN
 
-    node = load_yaml(AE_YAML)["task"]["autoencoder"]
+    yaml_path = AE_YAML.replace(".yaml", "_istft.yaml") if istft else AE_YAML
+    node = load_yaml(yaml_path)["task"]["autoencoder"]
     node["quantizer_config"]["use_pallas"] = _vq_pallas_value(vq_pallas)
     return MSMCVQGAN(**component_kwargs(node))
 
@@ -85,7 +86,11 @@ def bench_synth(args):
     from msmctts_tpu.parallel.precision import cast_floats
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
-    ae = _ae_module(dtype, args.vq_pallas)
+    if args.istft and args.int8:
+        raise NotImplementedError(
+            "int8 PTQ kernels cover the HifiGANGenerator decoder only"
+        )
+    ae = _ae_module(dtype, args.vq_pallas, istft=args.istft)
     am_node = load_yaml(AM_YAML)["task"]["predictor"]
     predictor = MultiStagePredictor(**component_kwargs(am_node))
 
@@ -536,6 +541,10 @@ def main():
                         help="serve the HiFi-GAN decoder in int8 (PTQ + "
                         "calibrated static activation scales) — synth and "
                         "--e2e-infer modes")
+    parser.add_argument("--istft", action="store_true",
+                        help="synth mode: swap the decoder for the "
+                        "ISTFTGenerator fast decoder (msmc_vq_gan_istft.yaml; "
+                        "same x300 ratio, MXU-dense spectral tail)")
     parser.add_argument("--static-frames", type=int, default=None,
                         help="--e2e-infer: fixed frame bucket, single "
                         "device round-trip per call (tasks.py latency mode)")

@@ -49,8 +49,10 @@ def build_tts_fn(task, max_frames: int, int8: bool = False):
     ae = task.networks["autoencoder"]
     pvars = task.variables["predictor"]
     avars = task.variables["autoencoder"]
+    from msmctts_tpu.models.hifigan import generator_upsample_ratio
+
     codebooks = [jnp.asarray(c) for c in extract_codebooks(avars)]
-    hop = int(np.prod(np.asarray(ae.decoder_config["upsample_rates"])))
+    hop = generator_upsample_ratio(ae.decoder_config)
     i8 = None
     if int8:
         i8 = task._int8()

@@ -346,3 +346,85 @@ class UnivNetDiscriminator(nn.Module):
         mrd_s, mrd_f = MultiResolutionDiscriminator(**self.mrd_config, name="mrd")(wav)
         mpd_s, mpd_f = MultiPeriodDiscriminator(**self.mpd_config, name="mpd")(wav)
         return mrd_s + mpd_s, mrd_f + mpd_f
+
+
+@register_network("ISTFTGenerator")
+class ISTFTGenerator(nn.Module):
+    """HiFi-GAN trunk + inverse-STFT head (iSTFTNet arXiv:2203.02395 /
+    WaveNeXt-style; no reference counterpart — a TPU-first fast decoder).
+
+    On v5e the tail HiFi-GAN stages are lane-starved: once channels fall
+    below the 128-lane register width, MXU utilization drops to ~39%
+    (C=64) and the last x5 x2 upsamplings dominate decode time
+    (PARITY.md 2.12). This variant keeps the wide trunk stages and
+    replaces the tail with a spectral projection + ``istft_real_imag``
+    (ops/stft.py) — the final x``istft_hop`` upsampling becomes one
+    [2*(n_fft//2+1)] -> [n_fft] matmul per frame that the MXU runs dense.
+
+    Total upsampling = prod(upsample_rates) * istft_hop; for the CSMSC
+    x300 recipe use e.g. rates [6, 5] with istft_hop 10, istft_n_fft 40.
+    Output length matches ``HifiGANGenerator`` exactly ([B, T*ratio, 1]),
+    so MSMC-VQ-GAN configs can swap decoders via ``decoder_config._name``.
+    """
+
+    resblock_kernel_sizes: Sequence[int]
+    resblock_dilation_sizes: Sequence[Sequence[int]]
+    upsample_rates: Sequence[int]
+    upsample_initial_channel: int
+    upsample_kernel_sizes: Sequence[int]
+    istft_hop: int = 10
+    istft_n_fft: int = 40
+    num_mels: int = 80
+
+    @nn.compact
+    def __call__(self, x):
+        from msmctts_tpu.ops.stft import istft_real_imag
+
+        num_kernels = len(self.resblock_kernel_sizes)
+        x = WNConv(self.upsample_initial_channel, (7,), padding=3, name="conv_pre")(x)
+        for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
+            ch = self.upsample_initial_channel // (2 ** (i + 1))
+            x = nn.leaky_relu(x, GEN_LRELU)
+            x = WNConvTranspose1d(
+                ch, k, u, padding=(k - u) // 2, hifigan_init=True, name=f"up_{i}"
+            )(x)
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+            ):
+                r = ResBlock1(ch, rk, tuple(rd), name=f"resblock_{i}_{j}")(x)
+                acc = r if acc is None else acc + r
+            x = acc / num_kernels
+        x = nn.leaky_relu(x, 0.01)
+        n_bins = self.istft_n_fft // 2 + 1
+        # spectral head: log-magnitude + phase angle per bin
+        spec = WNConv(2 * n_bins, (7,), padding=3, hifigan_init=True,
+                      name="conv_post")(x)
+        logmag, phase = spec[..., :n_bins], spec[..., n_bins:]
+        mag = jnp.exp(jnp.clip(logmag, -11.5, 4.0))  # bounded away from inf
+        real = (mag * jnp.cos(phase)).swapaxes(1, 2)  # [B, bins, frames]
+        imag = (mag * jnp.sin(phase)).swapaxes(1, 2)
+        wav = istft_real_imag(
+            real, imag, self.istft_n_fft, self.istft_hop, self.istft_n_fft,
+            center=False,
+        )
+        # center=False synthesis emits (F-1)*hop + n_fft samples; trim the
+        # window tails symmetrically to exactly F*hop (one-sided lead of
+        # (n_fft-hop)//2, mirroring mel_spectrogram_hifigan's analysis pad)
+        lead = (self.istft_n_fft - self.istft_hop) // 2
+        total = real.shape[-1] * self.istft_hop
+        wav = wav[:, lead : lead + total]
+        # no tanh: the spectral head bounds the signal through the
+        # magnitude clip (iSTFTNet leaves the iSTFT output raw)
+        return wav[..., None]
+
+
+def generator_upsample_ratio(decoder_config) -> int:
+    """Samples per input frame for a decoder_config, decoder-family aware:
+    prod(upsample_rates), times ``istft_hop`` for the ISTFTGenerator head."""
+    import math
+
+    ratio = math.prod(int(u) for u in decoder_config["upsample_rates"])
+    if decoder_config.get("_name") == "ISTFTGenerator" or "istft_hop" in decoder_config:
+        ratio *= int(decoder_config.get("istft_hop", 10))
+    return ratio

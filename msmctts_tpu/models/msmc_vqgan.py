@@ -365,7 +365,13 @@ class MSMCVQGAN(nn.Module):
         )
         dec_cfg = dict(self.decoder_config or {})
         dec_cfg["num_mels"] = self.n_model_size
-        self.decoder = HifiGANGenerator(**dec_cfg)
+        # decoder family is selectable (``decoder_config._name``): the
+        # reference is HiFi-GAN-only; ISTFTGenerator is the TPU-first
+        # fast-decode variant (models/hifigan.py)
+        dec_name = dec_cfg.pop("_name", "HifiGANGenerator")
+        from msmctts_tpu.registry import get_network
+
+        self.decoder = get_network(dec_name)(**dec_cfg)
         if self.frame_decoder_config is not None:
             self.frame_decoder = FFTBlocks(
                 d_model=self.n_model_size, **dict(self.frame_decoder_config)
@@ -375,7 +381,9 @@ class MSMCVQGAN(nn.Module):
 
     @property
     def frameshift_ratio(self) -> int:
-        return int(jnp.prod(jnp.array(self.decoder_config["upsample_rates"])))
+        from msmctts_tpu.models.hifigan import generator_upsample_ratio
+
+        return generator_upsample_ratio(self.decoder_config)
 
     def _frame_decode(self, decoder_inputs, lengths, deterministic):
         if self.frame_decoder_config is None:

@@ -188,3 +188,83 @@ def mel_spectrogram_hifigan(
     fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels))
     mel = jnp.einsum("mf,bft->bmt", fb, mag)
     return jnp.log(jnp.clip(mel, min=clip_val))
+
+
+def _idft_kernels(n_fft: int, win_length: int) -> np.ndarray:
+    """Synthesis kernels [2*(n_fft//2+1), 1, n_fft] inverting
+    ``_dft_kernels``: row k of the cos block reconstructs
+    w_k/n_fft * cos(2*pi*k*t/n_fft) (hermitian fold: w_k=2 except DC and
+    Nyquist), the sin block the matching -sin — so transposed-convolving
+    (real, -imag-convention imag) frames with these and overlap-adding
+    yields the windowed time frames."""
+    n_bins = n_fft // 2 + 1
+    t = np.arange(n_fft)[None, :]
+    k = np.arange(n_bins)[:, None]
+    angle = 2.0 * np.pi * k * t / n_fft
+    weights = np.full((n_bins, 1), 2.0)
+    weights[0] = 1.0
+    if n_fft % 2 == 0:
+        weights[-1] = 1.0
+    window = hann_window(win_length)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = np.pad(window, (lpad, n_fft - win_length - lpad))
+    basis = np.concatenate(
+        [weights * np.cos(angle), -weights * np.sin(angle)], axis=0
+    ) / float(n_fft)
+    return (basis * window[None, :]).astype(np.float32)[:, None, :]
+
+
+def istft_real_imag(
+    real: jax.Array,
+    imag: jax.Array,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    center: bool = True,
+    eps: float = 1e-9,
+):
+    """Inverse of ``stft_real_imag`` (same torch conventions: hann,
+    -sin imag): [B, n_fft//2+1, frames] x2 -> [B, T] with
+    T = (frames-1)*hop (center) — least-squares overlap-add with
+    window-square normalization.
+
+    TPU-first: synthesis is ONE transposed conv of the spectral frames
+    with the windowed (i)DFT basis (an MXU matmul per frame) plus a tiny
+    transposed conv for the normalizer — no scatter, no host loop. This
+    is what makes the iSTFT-head generator fast: the x``hop`` upsampling
+    costs a [2*bins -> n_fft] matmul instead of lane-starved small-channel
+    convolutions (models/hifigan.py ISTFTGenerator)."""
+    kern = jnp.asarray(_idft_kernels(n_fft, win_length))
+    frames = jnp.concatenate([real, imag], axis=1).astype(jnp.float32)
+    # [B, 2*bins, F] -(conv_transpose stride hop)-> [B, 1, (F-1)*hop+n_fft]
+    x = jax.lax.conv_transpose(
+        frames,
+        kern,
+        strides=(hop_length,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        transpose_kernel=True,
+        precision=jax.lax.Precision.HIGHEST,
+    )[:, 0]
+    # window-square overlap-add normalizer over the same frame grid
+    window = hann_window(win_length)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = np.pad(window, (lpad, n_fft - win_length - lpad))
+    wsq = jnp.asarray((window * window).astype(np.float32))[None, None, :]
+    ones = jnp.ones((1, 1, real.shape[-1]), jnp.float32)
+    norm = jax.lax.conv_transpose(
+        ones,
+        wsq,
+        strides=(hop_length,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        transpose_kernel=True,
+        precision=jax.lax.Precision.HIGHEST,
+    )[:, 0]
+    x = x / jnp.maximum(norm, eps)
+    if center:
+        half = n_fft // 2
+        x = x[:, half : x.shape[1] - half]
+    return x

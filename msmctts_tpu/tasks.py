@@ -360,6 +360,10 @@ class MSMCTTS(BaseTask):
             from msmctts_tpu.ops.int8_generator import Int8Decoder
 
             ae = self.networks["autoencoder"]
+            if ae.decoder_config.get("_name", "HifiGANGenerator") != "HifiGANGenerator":
+                raise NotImplementedError(
+                    "int8 PTQ kernels cover the HifiGANGenerator decoder only"
+                )
             i8 = Int8Decoder(
                 self.variables["autoencoder"]["params"]["decoder"],
                 dict(ae.decoder_config),
@@ -548,6 +552,12 @@ class MSMCTTS(BaseTask):
             return sd
         ae = self.networks["autoencoder"]
         dec_cfg = dict(ae.decoder_config)
+        if dec_cfg.get("_name", "HifiGANGenerator") != "HifiGANGenerator":
+            raise NotImplementedError(
+                "streaming decode implements the HifiGANGenerator receptive-"
+                "field contract only; the ISTFT decoder is already tail-"
+                "cheap — use the monolithic path"
+            )
         hop = int(np.prod(np.asarray(dec_cfg["upsample_rates"])))
         ctx = receptive_field_frames(dec_cfg)
         window = chunk_frames + 2 * ctx
