@@ -124,9 +124,10 @@ class EMAQuantizer(nn.Module):
         Frames at t >= lengths[b] are excluded from the statistics.
 
         ``sort=True`` returns the full nearest-first codeword ranking
-        [B, T, H, K] instead of the argmin indices (reference
-        Quantize(sort=True), modules.py:62-65, whose 1-head shape is
-        [B, T, K]).
+        instead of the argmin indices (reference Quantize(sort=True),
+        modules.py:62-65): [B, T, K] for a single head — exactly the
+        reference shape — and [B, T, H, K] for fused multi-head stacks
+        (the reference's MultiHeadQuantize never exposes sort).
         """
         B, T, D = x.shape
         H, d, K = self.n_head, self.sub_dim, self.n_embed
@@ -207,6 +208,8 @@ class EMAQuantizer(nn.Module):
         quant_st = x + jax.lax.stop_gradient(quant - x)
         if sort:
             indices = jnp.argsort(dist, axis=-1).astype(jnp.int32)  # [B,T,H,K]
+            if H == 1:  # reference 1-head shape: [B, T, K] (modules.py:62-65)
+                indices = indices[:, :, 0]
         return quant_st, diff, indices
 
     def quantize(self, x):

@@ -210,3 +210,17 @@ def test_sort_returns_full_ranking(rng):
         d = ((xh[:, :, h, None, :] - embed[h].T[None, None]) ** 2).sum(-1)
         ranked = np.take_along_axis(d, np.asarray(ranking)[:, :, h], axis=-1)
         assert (np.diff(ranked, axis=-1) >= -1e-5).all()
+
+
+def test_sort_single_head_matches_reference_shape(rng):
+    """1-head sort=True is [B, T, K] — exactly the reference Quantize
+    (modules.py:62-65), so downstream consumers of the reference API port
+    without a squeeze."""
+    q, variables = make_quantizer(D=8, K=16, H=1)
+    x = jnp.asarray(rng.normal(size=(2, 5, 8)).astype(np.float32))
+    _, _, ranking = q.apply(variables, x, update=False, sort=True)
+    assert ranking.shape == (2, 5, 16)
+    _, _, argmin_idx = q.apply(variables, x, update=False)
+    np.testing.assert_array_equal(
+        np.asarray(ranking)[..., 0], np.asarray(argmin_idx)[..., 0]
+    )
