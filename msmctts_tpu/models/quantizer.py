@@ -126,8 +126,15 @@ class EMAQuantizer(nn.Module):
         ``sort=True`` returns the full nearest-first codeword ranking
         instead of the argmin indices (reference Quantize(sort=True),
         modules.py:62-65): [B, T, K] for a single head — exactly the
-        reference shape — and [B, T, H, K] for fused multi-head stacks
-        (the reference's MultiHeadQuantize never exposes sort).
+        reference shape. For multi-head stacks the reference
+        (MultiHeadQuantize, modules.py:137-151) forwards sort to each
+        head and stacks the per-head [B, T, K] rankings on dim=-1,
+        giving [B, T, K, H]; this fused module returns the transposed
+        [B, T, H, K] layout instead (head axis before ranking axis, as
+        everywhere else here). Note the return rank of ``indices``
+        therefore depends on ``n_head`` when sort=True ([B,T,K] at H==1
+        vs [B,T,H,K] at H>1), unlike the default argmin indices which
+        are always [B, T, H]; head-generic callers must branch.
         """
         B, T, D = x.shape
         H, d, K = self.n_head, self.sub_dim, self.n_embed
@@ -242,13 +249,12 @@ class EMAQuantizer(nn.Module):
         H, d, K = embed.value.shape
         logits = jnp.log(jnp.maximum(cluster_size.value, self.eps))  # [H, K]
         keys = jax.random.split(rng, H)
-        idx = jnp.stack(
-            [
-                jax.random.categorical(keys[h], logits[h], shape=batch_shape)
-                for h in range(H)
-            ],
-            axis=-1,
-        )  # [..., H]
+        # one vmapped categorical over heads: a single dispatch instead of
+        # H sequential ones
+        idx_h = jax.vmap(
+            lambda k, lg: jax.random.categorical(k, lg, shape=batch_shape)
+        )(keys, logits)  # [H, *batch_shape]
+        idx = jnp.moveaxis(idx_h, 0, -1)  # [..., H]
         return idx, lookup_codes(idx, embed.value)
 
     def compute_triple_loss(self, pred, target_indices, reduction: str = "mean", margin: float = 1e-6):

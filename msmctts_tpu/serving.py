@@ -5,9 +5,14 @@ The reference's only inference surface is the offline batch CLI
 a TPU adds two constraints the offline path doesn't have:
 
 - every distinct (batch, text-bucket, frame-bucket) shape is a separate XLA
-  compile, so the server pins ONE batch size and a small ladder of text
-  buckets and pre-compiles them all at startup (``warmup``) — no request
-  ever waits on a compile;
+  compile, so the server pins ONE batch size, a small ladder of text
+  buckets, and a frame cap (``max_frames``, which clamps every
+  utterance's predicted total — the cap makes the reachable
+  (text-bucket x frame-bucket) graph set FINITE), and pre-compiles all
+  of it at startup (``warmup``) — no blocking request ever waits on a
+  compile, cold cache included. Streaming decode graphs are warmed only
+  with ``warmup(include_streaming=True)`` (serve.py
+  ``--warmup-streaming``);
 - each device call pays a fixed dispatch latency, so throughput comes from
   coalescing concurrent requests into one call (dynamic batching with a
   bounded gather window) rather than from per-request dispatch.
@@ -22,7 +27,9 @@ number of threads. ``serve.py`` wraps this in an HTTP front end.
 from __future__ import annotations
 
 import bisect
+import math
 import queue
+import random
 import threading
 import time
 from dataclasses import dataclass, field
@@ -30,7 +37,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from msmctts_tpu.data.datasets import TEXT_BUCKETS, bucket_length
+from msmctts_tpu.data.datasets import FRAME_BUCKETS, TEXT_BUCKETS, bucket_length
 
 __all__ = ["BatchingEngine", "ServingStats", "parse_phone_string"]
 
@@ -62,8 +69,10 @@ class ServingStats:
 
     def record_latency(self, seconds: float) -> None:
         if len(self._latencies) >= self._MAX_LAT:
-            # drop a pseudo-random victim to keep a long-run sample
-            del self._latencies[len(self._latencies) // 2]
+            # evict a uniformly random victim: deleting a fixed position
+            # (e.g. the median) systematically hollows out that part of
+            # the distribution and biases long-run percentile readouts
+            del self._latencies[random.randrange(len(self._latencies))]
         bisect.insort(self._latencies, seconds)
 
     def snapshot(self, sample_rate: int) -> dict:
@@ -118,6 +127,12 @@ class BatchingEngine:
     window_ms: how long the worker waits for followers after the first
         request of a batch arrives. 0 disables coalescing (latency mode).
     text_buckets: ladder of padded text lengths (each is a compiled shape).
+    max_frames: serving cap on each utterance's total frames (audio past
+        it is truncated; 2432 frames = 30.4 s at the CSMSC rate). In
+        dynamic-bucket mode this bounds the reachable frame buckets, so
+        ``warmup`` can pre-compile the complete (text x frame) product.
+        Clamped to the ``FRAME_BUCKETS`` ladder top. Ignored by tasks
+        without the cap surface (exported artifacts are fixed-shape).
     max_queue: backpressure bound; ``synthesize`` raises when full.
     mesh: optional ``jax.sharding.Mesh`` — serve one model data-parallel
         from all its devices (``MSMCTTS.use_mesh``): the pinned batch is
@@ -133,12 +148,16 @@ class BatchingEngine:
         batch_size: int = 8,
         window_ms: float = 15.0,
         text_buckets: Sequence[int] = TEXT_BUCKETS,
+        max_frames: int = FRAME_BUCKETS[-1],
         max_queue: int = 256,
         stream_chunk_frames: int = 64,
         mesh=None,
     ):
         if batch_size < 1:
             raise ValueError("batch_size must be >= 1")
+        self.max_frames = min(int(max_frames), FRAME_BUCKETS[-1])
+        if hasattr(task, "max_frames_cap"):
+            task.max_frames_cap = self.max_frames
         if mesh is not None:
             if batch_size % mesh.size:
                 raise ValueError(
@@ -189,25 +208,105 @@ class BatchingEngine:
                 req.error = RuntimeError("engine stopped")
                 req.done.set()
 
-    def warmup(self, text_lengths: Optional[Sequence[int]] = None) -> float:
-        """Pre-compile every (batch, text-bucket) graph the server will use.
+    def warmup(
+        self,
+        text_lengths: Optional[Sequence[int]] = None,
+        include_streaming: bool = False,
+    ) -> float:
+        """Pre-compile every graph a blocking request can reach.
+
+        Per text bucket: one predicted-duration pass (the ``("dur", Lt)``
+        graph plus whatever frame bucket the random warmup text lands in),
+        then — in dynamic-bucket mode — one forced-duration pass per
+        reachable frame bucket, which drives the exact
+        ``("syn"/"syn8", Lt, F)`` key the live two-phase path uses
+        (tasks.py ``_predict_phase1`` takes ``dur`` from the batch). The
+        ``max_frames`` cap is what makes that product finite; in
+        static-frames mode there is exactly one frame bucket per text
+        bucket, so the per-bucket pass already covers everything.
+
+        ``include_streaming=True`` additionally drains one
+        ``predict_stream`` call per (text bucket, frame bucket), warming
+        the chunked-decode window graphs too (they are shape-specialized
+        on the frame bucket). Off by default — it roughly doubles warmup.
+
+        Warmup text is plausible random phone tokens, not all-ones: the
+        duration predictor should see in-distribution ids so the
+        predicted-duration pass exercises a realistic frame bucket.
 
         Returns wall seconds spent. Run before accepting traffic: a cold
         XLA compile is tens of seconds, far beyond any request deadline.
         """
-        n_streams = self._n_streams()
         lengths = sorted(
             {bucket_length(l, self.text_buckets) for l in (text_lengths or self.text_buckets)}
         )
+        frame_buckets = self._reachable_frame_buckets()
         t0 = time.time()
         for L in lengths:
-            text = np.ones((self.batch_size, L, n_streams), np.int32)
             batch = {
-                "text": text,
+                "text": self._warmup_text(L),
                 "text_length": np.full((self.batch_size,), L, np.int32),
             }
             self.task.infer_step(batch)
+            if include_streaming and hasattr(self.task, "predict_stream") and not frame_buckets:
+                self._drain_stream(batch)
+            for F in frame_buckets:
+                forced = dict(batch, dur=self._forced_durations(L, F))
+                self.task.infer_step(forced)
+                if include_streaming and hasattr(self.task, "predict_stream"):
+                    self._drain_stream(forced)
         return time.time() - t0
+
+    def _reachable_frame_buckets(self) -> List[int]:
+        """The frame buckets a live request can select in dynamic-bucket
+        mode: every ``FRAME_BUCKETS`` ladder entry between the model's
+        minimum bucket (the scale lcm) and ``bucket_length(max_frames)``.
+        Empty in static-frames mode or for fixed-shape exported tasks
+        (their one bucket is covered by the per-text-bucket pass)."""
+        task = self.task
+        if getattr(task, "static_max_frames", None) or not hasattr(task, "networks"):
+            return []
+        predictor = task.networks.get("predictor")
+        if predictor is None:  # autoencoder-only task: no two-phase path
+            return []
+        scales = list(predictor.n_pred_scale)
+        lo = bucket_length(math.lcm(*scales) if scales else 1, FRAME_BUCKETS)
+        hi = max(lo, bucket_length(self.max_frames, FRAME_BUCKETS))
+        return [b for b in FRAME_BUCKETS if lo <= b <= hi]
+
+    def _warmup_text(self, L: int) -> np.ndarray:
+        """Plausible random phone tokens [B, L, n_streams], ids drawn per
+        stream from the model's vocabulary (exported artifacts carry no
+        vocab in the manifest; their graphs are id-independent, so a
+        fixed small id is fine there)."""
+        n_streams = self._n_streams()
+        if hasattr(self.task, "networks"):
+            ns = self.task.networks["predictor"].n_symbols
+            n_symbols = list(ns) if isinstance(ns, (list, tuple)) else [ns]
+        else:
+            n_symbols = [2] * n_streams
+        rng = np.random.default_rng(0)
+        cols = [
+            rng.integers(1, max(int(n), 2), size=(self.batch_size, L))
+            for n in n_symbols
+        ]
+        return np.stack(cols, axis=-1).astype(np.int32)
+
+    def _forced_durations(self, L: int, total_frames: int) -> np.ndarray:
+        """Per-symbol frame durations [B, L] summing exactly to
+        ``total_frames`` — drives ``_predict_phase1`` straight into that
+        frame bucket."""
+        base = total_frames // L
+        dur = np.full((self.batch_size, L), base, np.float32)
+        dur[:, 0] += total_frames - base * L
+        return dur
+
+    def _drain_stream(self, batch: dict) -> None:
+        _, chunks = self.task.predict_stream(
+            batch, chunk_frames=self.stream_chunk_frames
+        )
+        for _ in chunks:
+            pass
 
     def reload(self, state: dict) -> None:
         """Hot-swap model weights with zero downtime (rolling deploys,

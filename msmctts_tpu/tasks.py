@@ -220,6 +220,13 @@ class MSMCTTS(BaseTask):
         # single device round-trip instead of the two-phase host bucket
         # pick (infer.py --static-frames; latency mode for remote TPUs).
         self.static_max_frames: Optional[int] = None
+        # When set (frames), dynamic-bucket predict() clamps every
+        # utterance's total frames to this cap (audio past it is
+        # truncated). Makes the reachable (text bucket x frame bucket)
+        # graph set FINITE, so a serving warmup can pre-compile all of
+        # it — the "no request ever waits on a compile" contract
+        # (msmctts_tpu/serving.py). None = uncapped (offline CLI).
+        self.max_frames_cap: Optional[int] = None
         # Opt-in int8 HiFi-GAN decoder (infer.py --int8): PTQ kernels +
         # first-batch-calibrated static activation scales, measured 1.2x
         # the bf16 decoder on v5e (ops/int8_generator.py).
@@ -458,6 +465,8 @@ class MSMCTTS(BaseTask):
             given = np.round(np.maximum(given, 0.0)) * mask
             durations_dev = self._place(given)
             total = given.sum(axis=1).astype(np.int64)
+            if self.max_frames_cap:
+                total = np.minimum(total, int(self.max_frames_cap))
             total_dev = jnp.asarray(total)
         else:
             # Phase 1: predicted durations (per text bucket).
@@ -486,6 +495,8 @@ class MSMCTTS(BaseTask):
                 total = None
             else:
                 total = np.asarray(total_dev).astype(np.int64)  # one small D2H
+                if self.max_frames_cap:
+                    total = np.minimum(total, int(self.max_frames_cap))
         max_frames = bucket_length(
             max(int(self.static_max_frames or 0) if total is None
                 else int(total.max()), lcm),

@@ -18,8 +18,10 @@ GET  /healthz      {"status": "ok"} once warmup finished.
 GET  /stats        engine counters: batching, latency percentiles,
                    device realtime factor.
 
-The engine pins one device batch size and a text-bucket ladder and
-pre-compiles every graph at startup, so no request ever waits on XLA
+The engine pins one device batch size, a text-bucket ladder, and a
+per-utterance frame cap (--max-frames, dynamic mode) and pre-compiles
+every reachable graph at startup, so no blocking request ever waits on
+XLA — streaming decode graphs too with --warmup-streaming
 (msmctts_tpu/serving.py). The reference has no serving surface; this wraps
 the same task path its infer.py drives (/root/reference/infer.py:45-91).
 """
@@ -77,6 +79,7 @@ def build_engine(args):
         sample_rate=sr,
         batch_size=args.batch_size,
         window_ms=args.window_ms,
+        max_frames=args.max_frames,
         max_queue=args.max_queue,
         stream_chunk_frames=args.stream_chunk_frames,
         mesh=mesh,
@@ -261,6 +264,14 @@ def main():
     p.add_argument("--window-ms", type=float, default=15.0)
     p.add_argument("--static-frames", type=int, default=None,
                    help="single-round-trip latency mode (fixed frame bucket)")
+    p.add_argument("--max-frames", type=int, default=1024,
+                   help="serving cap on total frames per utterance "
+                        "(dynamic mode; bounds warmup to the reachable "
+                        "text x frame bucket product; 1024 = 12.8 s "
+                        "at 24 kHz/300)")
+    p.add_argument("--warmup-streaming", action="store_true",
+                   help="also pre-compile the chunked streaming-decode "
+                        "graphs (roughly doubles warmup)")
     p.add_argument("--int8", action="store_true",
                    help="int8 PTQ HiFi-GAN decoder (1.65x e2e on v5e)")
     p.add_argument("--mesh-devices", type=int, default=1, metavar="N",
@@ -295,7 +306,9 @@ def main():
 
     def _warm():
         if not args.no_warmup:
-            secs = engine.warmup(args.warmup_lengths)
+            secs = engine.warmup(
+                args.warmup_lengths, include_streaming=args.warmup_streaming
+            )
             print(f"warmup: compiled serving graphs in {secs:.1f}s", flush=True)
         ready.set()
         print(f"serving on http://{args.host}:{server.server_port}", flush=True)
