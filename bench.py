@@ -11,7 +11,9 @@ synth (default)   Jitted text->waveform graph throughput (predictor +
                   N iterations in-graph (``--method chained``, default) —
                   immune to dispatch pipelining/memoization artifacts.
 --train-step      CSMSC-scale VQ-GAN GAN-phase train step (batch 16,
-                  D + G + EMA codebook update) -> steps/sec. No reference
+                  D + G + EMA codebook update) -> steps/sec, chained
+                  in-graph like synth (state threaded through lax.scan;
+                  warmup-phase split printed to stderr). No reference
                   number exists (BASELINE.md: "tracked"); vs_baseline =
                   complete 800k-step CSMSC recipes trainable per day.
 --e2e-infer       The SHIPPED two-phase inference path (MSMCTTS.predict:
@@ -427,17 +429,88 @@ def bench_train_step(args):
     state = replicate_state(state, mesh)
 
     it0 = trainer.warmup_steps + 1  # GAN phase: D + G + EMA codebook update
-    # compile + warmup
-    state, metrics = trainer.train_step(state, shard_batch(make_batch(), mesh), it0)
-    jax.block_until_ready(state)
 
-    batches = [shard_batch(make_batch(), mesh) for _ in range(args.runs)]
-    t0 = time.perf_counter()
-    for i, b in enumerate(batches):
-        state, metrics = trainer.train_step(state, b, it0 + 1 + i)
-    jax.block_until_ready(state)
-    wall = (time.perf_counter() - t0) / args.runs
-    steps_per_sec = 1.0 / wall
+    if args.method == "loop":
+        # compile + warmup
+        state, metrics = trainer.train_step(
+            state, shard_batch(make_batch(), mesh), it0
+        )
+        jax.block_until_ready(state)
+
+        batches = [shard_batch(make_batch(), mesh) for _ in range(args.runs)]
+        t0 = time.perf_counter()
+        for i, b in enumerate(batches):
+            state, metrics = trainer.train_step(state, b, it0 + 1 + i)
+        jax.block_until_ready(state)
+        wall = (time.perf_counter() - t0) / args.runs
+        steps_per_sec = 1.0 / wall
+        print(
+            f"train-step (loop): gan={steps_per_sec:.2f} steps/s",
+            file=sys.stderr,
+        )
+    else:
+        # Chained (default): scan N steps in ONE program with the train
+        # state threaded as the data dependency between iterations, one
+        # scalar readout, differenced against a 1-step chain — the same
+        # methodology as the synth bench (the dev runtime memoizes
+        # identical-buffer executions and block_until_ready is unreliable
+        # on small programs; CLAUDE.md). RNG folds the in-scan step index,
+        # so each iteration draws distinct windows/dropout like real
+        # training.
+        import jax.numpy as jnp
+
+        def make_chained(step_impl, iters, step0):
+            @jax.jit
+            def chained(state, batch):
+                def body(carry, i):
+                    st, _ = carry
+                    st, vec = step_impl(st, batch, step0 + i)
+                    return (st, jnp.sum(vec)), ()
+                (st, s), _ = jax.lax.scan(
+                    body,
+                    (state, jnp.float32(0)),
+                    jnp.arange(iters, dtype=jnp.uint32),
+                )
+                # the metrics sum of the LAST step depends on the whole
+                # chain through the carried state
+                return s
+            return chained
+
+        def phase_time(step_impl, keys, step0):
+            n = max(args.runs, 2)
+            c1 = make_chained(step_impl, 1, step0)
+            cn = make_chained(step_impl, n, step0)
+
+            def best_of(fn, trials=3):
+                ts = []
+                for _ in range(trials):
+                    b = shard_batch(
+                        {k: v for k, v in make_batch().items() if k in keys},
+                        mesh,
+                    )
+                    jax.block_until_ready(b)
+                    t0 = time.perf_counter()
+                    float(fn(state, b))
+                    ts.append(time.perf_counter() - t0)
+                return min(ts)
+
+            best_of(c1, 1), best_of(cn, 1)  # compile + warm
+            return (best_of(cn) - best_of(c1)) / (n - 1)
+
+        wall = phase_time(
+            trainer._gan_step_impl,
+            ("mel", "mel_length", "wav"),
+            np.uint32(it0),
+        )
+        steps_per_sec = 1.0 / wall
+        warm_wall = phase_time(
+            trainer._warmup_step_impl, ("mel", "mel_length"), np.uint32(1)
+        )
+        print(
+            f"train-step (chained): gan={steps_per_sec:.2f} steps/s "
+            f"warmup={1.0 / warm_wall:.2f} steps/s",
+            file=sys.stderr,
+        )
     # no reference number exists (BASELINE.md: "tracked"); vs_baseline =
     # complete 800k-step CSMSC recipes (msmc_vq_gan.yaml:78) trainable per
     # day at this rate
@@ -550,10 +623,10 @@ def main():
                         "device round-trip per call (tasks.py latency mode)")
     parser.add_argument("--method", choices=["chained", "loop"],
                         default="chained",
-                        help="synth timing: 'chained' runs N iterations "
-                        "in-graph (lax.scan + data dependency, one scalar "
-                        "readout, differenced vs a 1-iteration chain); "
-                        "'loop' is the legacy per-dispatch loop")
+                        help="synth/--train-step timing: 'chained' runs N "
+                        "iterations in-graph (lax.scan + data dependency, "
+                        "one scalar readout, differenced vs a 1-iteration "
+                        "chain); 'loop' is the legacy per-dispatch loop")
     parser.add_argument("--runs", type=int, default=8)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--frames", type=int, default=384,

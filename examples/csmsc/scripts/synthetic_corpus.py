@@ -74,8 +74,10 @@ def smooth(x: np.ndarray, sr: int, ms: float = 15.0) -> np.ndarray:
     ]
 
 
-def utterance(rng, sr: int):
-    """-> (wav, labels [(pid, tone, er)], durations_seconds)."""
+def utterance(rng, sr: int, return_tracks: bool = False):
+    """-> (wav, labels [(pid, tone, er)], durations_seconds); with
+    ``return_tracks`` also the smoothed sample-level {f0, amp} curves
+    (the QS-TTS corpus derives its pitch/energy books from them)."""
     n_spoken = int(rng.integers(10, 30))
     # tone stretches duration slightly (a real-speech-like covariate);
     # +-10% per-utterance jitter keeps the mapping learnable, not exact
@@ -122,6 +124,8 @@ def utterance(rng, sr: int):
         wav += harm[:, k] * np.sin((k + 1) * phase + 2 * np.pi * k / N_HARM)
     wav = wav * amp + rng.normal(size=n) * 0.003
     wav = wav / np.max(np.abs(wav)) * 10 ** (-7.0 / 20.0)  # recipe -7 dBFS
+    if return_tracks:
+        return wav.astype(np.float32), labels, durs, {"f0": f0, "amp": amp}
     return wav.astype(np.float32), labels, durs
 
 

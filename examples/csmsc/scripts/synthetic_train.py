@@ -25,6 +25,11 @@ Usage:
   python examples/csmsc/scripts/synthetic_train.py --corpus /tmp/syncorpus2 \
       --out /tmp/synrun3 --stage am --steps 12000 \
       --ae-checkpoint /tmp/synrun3/ckpt_ae/model_48000      # stage 2 (AM)
+
+QS-TTS (aishell3-scale) stages run from a synthetic_emb_corpus.py corpus:
+  ... --corpus /tmp/synembcorpus --out /tmp/embrun --stage emb --steps 9000
+  ... --corpus /tmp/synembcorpus --out /tmp/embrun --stage nasyn \
+      --steps 6000 --ae-checkpoint /tmp/embrun/ckpt_emb/model_9000
 """
 
 import argparse
@@ -36,43 +41,101 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 AE_YAML = os.path.join(REPO, "examples/csmsc/configs/msmc_vq_gan.yaml")
 AM_YAML = os.path.join(REPO, "examples/csmsc/configs/msmc_vq_gan_am.yaml")
+EMB_YAML = os.path.join(
+    REPO, "examples/qs-tts/configs/synthesizer/msmc_vq_gan_hubertch_aishell3.yaml"
+)
+NASYN_YAML = os.path.join(
+    REPO, "examples/qs-tts/configs/predictor/msmc_vq_gan_hubertch_tts.yaml"
+)
+STAGE_YAML = {"ae": AE_YAML, "am": AM_YAML, "emb": EMB_YAML, "nasyn": NASYN_YAML}
 
 
-def derive_config(stage, corpus, out, steps, ckpt_every, ae_checkpoint):
+def derive_config(stage, corpus, out, steps, ckpt_every, ae_checkpoint,
+                  base_yaml=None):
     sys.path.insert(0, REPO)
     from msmctts_tpu.config import load_yaml
 
-    cfg = load_yaml(AE_YAML if stage == "ae" else AM_YAML)
+    cfg = load_yaml(base_yaml or STAGE_YAML[stage])
     ds = cfg["dataset"]
     ds["id_list"] = os.path.join(corpus, "train.list")
     cfg["training_steps"] = steps
     cfg["iters_per_checkpoint"] = ckpt_every
     cfg["save_checkpoint_dir"] = os.path.join(out, f"ckpt_{stage}")
+    # Deterministic corpus: zero every dropout in the predictor tree
+    # (r2 dropout-shift finding, PARITY.md).
+    def zero_dropouts(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k.endswith("dropout"):
+                    node[k] = 0.0
+                else:
+                    zero_dropouts(v)
+        elif isinstance(node, list):
+            for v in node:
+                zero_dropouts(v)
+
     if stage == "ae":
         ds["feature_path"] = [
             os.path.join(corpus, "mel/{}.npy"),
             os.path.join(corpus, "wav/{}.wav"),
         ]
         cfg["trainer"]["warmup_steps"] = 2000
-    else:
+    elif stage == "am":
         ds["feature_path"] = [
             os.path.join(corpus, "phone.txt"),
             os.path.join(corpus, "dur.txt"),
             os.path.join(corpus, "mel/{}.npy"),
         ]
         cfg["task"]["autoencoder"]["_checkpoint"] = ae_checkpoint
-        # Deterministic corpus: zero every dropout in the predictor tree
-        # (r2 dropout-shift finding, PARITY.md).
-        def zero_dropouts(node):
-            if isinstance(node, dict):
-                for k, v in node.items():
-                    if k.endswith("dropout"):
-                        node[k] = 0.0
-                    else:
-                        zero_dropouts(v)
-            elif isinstance(node, list):
-                for v in node:
-                    zero_dropouts(v)
+        zero_dropouts(cfg["task"]["predictor"])
+    elif stage == "emb":
+        # QS-TTS synthesizer at the published aishell3 scale, on the
+        # pseudo-SSL corpus (synthetic_emb_corpus.py), with the prosody
+        # adversary enabled: pitch/energy conditioning into the MAMS
+        # encoder + an AttrPredictor estimator trained to recover them
+        # from the content representations (GRL-style; the generator
+        # maximizes its error — emb_vqgan_trainer.py:96-120 spec).
+        ds["feature"] = ["emb", "mel", "wav", "pitch", "energy"]
+        ds["feature_path"] = [
+            os.path.join(corpus, "emb/{}.npy"),
+            os.path.join(corpus, "mel/{}.npy"),
+            os.path.join(corpus, "wav/{}.wav"),
+            os.path.join(corpus, "pitch/{}.npy"),
+            os.path.join(corpus, "energy/{}.npy"),
+        ]
+        ds["dimension"] = [1024, 80, 1, 1, 1]
+        ds["frameshift"] = [200, 200, 1, 200, 200]
+        ds["padding_value"] = [0, -4, 0, 0, 0]
+        ae = cfg["task"]["autoencoder"]
+        ae["pitch_dim"] = 1
+        ae["energy_dim"] = 1
+        cfg["task"]["prosody_estimator"] = {
+            "_name": "AttrPredictor",
+            "in_channels": int(ae.get("n_model_size", 256)),
+            "out_channels": 2,
+            "kernel_size": 5,
+            "n_layers": 2,
+        }
+        # three phases inside the short run: supervised -> +decode/STFT
+        # -> +GAN (published recipe gates both at 50k of 800k steps)
+        cfg["trainer"]["frame_loss_supervised_step"] = max(1, steps // 6)
+        cfg["trainer"]["stft_loss_supervised_step"] = max(2, steps // 3)
+    elif stage == "nasyn":
+        ds["feature"] = ["text", "dur", "emb", "pitch", "energy"]
+        ds["feature_path"] = [
+            os.path.join(corpus, "phone.txt"),
+            os.path.join(corpus, "dur.txt"),
+            os.path.join(corpus, "emb/{}.npy"),
+            os.path.join(corpus, "pitch/{}.npy"),
+            os.path.join(corpus, "energy/{}.npy"),
+        ]
+        ds["dimension"] = [3, 1, 1024, 1, 1]
+        ds["frameshift"] = [None, None, 200, 200, 200]
+        ds["padding_value"] = [0, 0, 0, 0, 0]
+        cfg["task"]["autoencoder"]["_checkpoint"] = ae_checkpoint
+        # the emb-stage checkpoint embeds its own (derived) config; the
+        # published _config pointer would rebuild without pitch_dim
+        cfg["task"]["autoencoder"].pop("_config", None)
         zero_dropouts(cfg["task"]["predictor"])
 
     os.makedirs(out, exist_ok=True)
@@ -105,7 +168,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--corpus", required=True, help="synthetic_corpus.py --out dir")
     p.add_argument("--out", required=True, help="run dir (configs + checkpoints)")
-    p.add_argument("--stage", choices=["ae", "am"], default="ae")
+    p.add_argument("--stage", choices=["ae", "am", "emb", "nasyn"], default="ae")
     p.add_argument("--steps", type=int, default=48000)
     p.add_argument("--ckpt-every", type=int, default=4000)
     p.add_argument("--ae-checkpoint", default=None,
@@ -113,12 +176,16 @@ def main():
     p.add_argument("--log-every", type=int, default=200)
     p.add_argument("--max-restarts", type=int, default=50)
     p.add_argument("--derive-only", action="store_true")
+    p.add_argument("--yaml", default=None,
+                   help="base config override for the stage (e.g. "
+                   "msmc_vq_gan_istft.yaml for the iSTFT-head AE recipe)")
     args = p.parse_args()
 
-    if args.stage == "am" and not args.ae_checkpoint:
-        p.error("--stage am requires --ae-checkpoint")
+    if args.stage in ("am", "nasyn") and not args.ae_checkpoint:
+        p.error(f"--stage {args.stage} requires --ae-checkpoint")
     yaml_path = derive_config(args.stage, args.corpus, args.out, args.steps,
-                              args.ckpt_every, args.ae_checkpoint)
+                              args.ckpt_every, args.ae_checkpoint,
+                              base_yaml=args.yaml)
     print(f"[supervisor] derived {yaml_path}", flush=True)
     if args.derive_only:
         return 0

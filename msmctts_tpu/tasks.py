@@ -381,6 +381,8 @@ class MSMCTTS(BaseTask):
 
     def analysis_synthesis(self, batch: dict) -> dict:
         """Full AE round trip (msmc_tts.py:129-133)."""
+        if "emb" in batch:
+            return self._analysis_synthesis_emb(batch)
         ae = self.networks["autoencoder"]
         variables = self.variables["autoencoder"]
         T = int(batch["mel"].shape[1])
@@ -432,6 +434,46 @@ class MSMCTTS(BaseTask):
         return {
             "wav": [w[: int(l) * ratio] for w, l in zip(wav, batch["mel_length"])],
             "mel_length": batch["mel_length"],
+        }
+
+    def _analysis_synthesis_emb(self, batch: dict) -> dict:
+        """AE round trip for SSL-embedding autoencoders (MSMCVQGANEmb):
+        emb (+ pitch/energy conditioning, + mel when a global speaker
+        encoder is configured) -> waveform. The reference names this task
+        path (NASynTTSEmb) but never ships it (SURVEY.md 2.8);
+        reconstructed against msmc_vqgan_emb.py:123-291's forward
+        contract. Jit wrappers are cached per (frames, feature set) like
+        the mel path."""
+        if self.int8_decoder:
+            raise NotImplementedError(
+                "int8 PTQ is wired for the mel autoencoder path only"
+            )
+        ae = self.networks["autoencoder"]
+        variables = self.variables["autoencoder"]
+        T = int(batch["emb"].shape[1])
+        opt = tuple(k for k in ("pitch", "energy", "mel") if k in batch)
+        key = ("ae_emb", T, opt)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            @jax.jit
+            def fn(v, emb, emb_length, **kw):
+                out = ae.apply(v, emb, emb_length, deterministic=True, **kw)
+                return out["decoder_outputs"][..., 0]
+
+            self._jit_cache[key] = fn
+        kw = {k: self._place(batch[k]) for k in opt}
+        wav = np.asarray(
+            fn(
+                variables,
+                self._place(batch["emb"]),
+                self._place(batch["emb_length"]),
+                **kw,
+            )
+        )
+        ratio = wav.shape[1] // T
+        return {
+            "wav": [w[: int(l) * ratio] for w, l in zip(wav, batch["emb_length"])],
+            "mel_length": batch["emb_length"],
         }
 
     def _predict_phase1(self, batch: dict) -> dict:
