@@ -232,6 +232,7 @@ def test_legacy_tts_task_with_vocoder(rng):
         assert fn._cache_size() == 1, (key, fn._cache_size())
 
 
+@pytest.mark.slow  # fresh-interpreter subprocess: pays a full jax import
 def test_registry_populates_after_partial_import():
     """A direct submodule import part-fills the registry; resolution of the
     remaining components must still trigger the lazy population (regression:

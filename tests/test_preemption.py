@@ -8,9 +8,13 @@ import subprocess
 import sys
 import time
 
+import pytest
 import yaml
 
 from tests.tiny import tiny_ae_config, write_tiny_dataset
+
+# spawns train.py in a fresh interpreter (full jax import + CLI compile)
+pytestmark = pytest.mark.slow
 
 
 def test_sigterm_saves_and_exits(tmp_path):
