@@ -24,8 +24,15 @@ hifigan/generator.py:10-64):
 Numerics: int32 accumulation makes the int8 convs EXACT for int8 inputs
 (tests/test_int8_generator.py asserts bit-parity against the float conv
 on the same integer operands); end-to-end error vs the fp32 generator
-comes only from the activation/weight rounding itself. Inference-only —
-no VJP is defined or needed.
+comes only from the activation/weight rounding itself. Per-tensor
+activation rounding is the dominant error term on trained weights
+(rel-L2 0.049 acts-only vs 0.003 weights-only, r4 attribution), so
+``Int8Decoder`` applies a SmoothQuant fold (arXiv:2211.10438) at
+calibration: per-input-channel activation ranges migrate into the
+per-output-channel-quantized kernels (``s_in`` vectors in the qparams),
+cutting end-to-end rel-L2 3.6x (0.064 -> 0.018 at alpha=1) for one
+fused constant-vector multiply per site. Inference-only — no VJP is
+defined or needed.
 """
 
 from __future__ import annotations
@@ -42,44 +49,120 @@ GEN_LRELU = 0.1
 
 
 # --------------------------------------------------------------- weights
-def _quantize_kernel(p: dict, transposed: bool = False) -> dict:
-    """WN {v, g, bias} -> {w_q int8 [k.., in, out], scale f32 [out], bias}."""
-    w, b = _fold(p, transposed=transposed)
-    w = np.asarray(jax.device_get(w), np.float32)
+def _fold_generator_params(params: dict, decoder_config: dict) -> dict:
+    """Fold weight norm for every generator conv. Returns a FLAT dict
+    ``site -> (w f32 numpy [k.., in, out], bias f32 numpy | None)`` with
+    the same site names ``_ActQuant`` uses (``conv_pre``, ``up_{i}``,
+    ``resblock_{i}_{j}/conv1_{d}``, ..., ``conv_post``)."""
+    rates = list(decoder_config["upsample_rates"])
+    rks = list(decoder_config["resblock_kernel_sizes"])
+
+    def fold(p, transposed=False):
+        w, b = _fold(p, transposed=transposed)
+        return (
+            np.asarray(jax.device_get(w), np.float32),
+            None if b is None else np.asarray(jax.device_get(b), np.float32),
+        )
+
+    folded = {"conv_pre": fold(params["conv_pre"])}
+    for i in range(len(rates)):
+        folded[f"up_{i}"] = fold(params[f"up_{i}"], transposed=True)
+        for j in range(len(rks)):
+            rb = params[f"resblock_{i}_{j}"]
+            for name in rb:
+                folded[f"resblock_{i}_{j}/{name}"] = fold(rb[name])
+    folded["conv_post"] = fold(params["conv_post"])
+    return folded
+
+
+def _quantize_folded_kernel(w, b, s_in=None) -> dict:
+    """Folded float kernel -> {w_q int8, scale f32 [out], bias, s_in?}.
+
+    ``s_in`` (f32 [in]) is a SmoothQuant fold (arXiv:2211.10438): the
+    input-channel axis of the kernel absorbs the activation's per-channel
+    dynamic range (``w * s_in``) while the activation is divided by the
+    same vector before quantization — the float product is unchanged, but
+    per-tensor activation rounding stops being dominated by a few hot
+    channels."""
+    if s_in is not None:
+        shape = [1] * w.ndim
+        shape[-2] = w.shape[-2]
+        w = w * np.asarray(s_in, np.float32).reshape(shape)
     axes = tuple(range(w.ndim - 1))  # all but out-channel
     scale = np.max(np.abs(w), axis=axes) / 127.0
     scale = np.maximum(scale, 1e-12).astype(np.float32)
     w_q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
     node = {"w_q": w_q, "scale": scale}
     if b is not None:
-        node["bias"] = np.asarray(jax.device_get(b), np.float32)
+        node["bias"] = b
+    if s_in is not None:
+        node["s_in"] = np.asarray(s_in, np.float32)
     return node
 
 
-def quantize_generator_params(params: dict, decoder_config: dict) -> dict:
-    """Quantize a trained HifiGANGenerator params subtree for int8 serving.
-
-    Host-side, once per checkpoint. Returns a pytree of numpy leaves
-    (int8 kernels + f32 scales/biases); ``conv_post`` keeps its folded
-    float kernel.
-    """
+def _quantize_folded(folded: dict, decoder_config: dict, smooth=None) -> dict:
+    """Flat folded-float dict -> the nested qparams pytree
+    ``int8_generator_apply`` consumes. ``smooth``: optional
+    ``site -> f32 [in]`` SmoothQuant vectors (``conv_post`` ignored)."""
+    smooth = smooth or {}
     rates = list(decoder_config["upsample_rates"])
     rks = list(decoder_config["resblock_kernel_sizes"])
 
-    out = {"conv_pre": _quantize_kernel(params["conv_pre"])}
+    def q(site):
+        w, b = folded[site]
+        return _quantize_folded_kernel(w, b, smooth.get(site))
+
+    out = {"conv_pre": q("conv_pre")}
     for i in range(len(rates)):
-        out[f"up_{i}"] = _quantize_kernel(params[f"up_{i}"], transposed=True)
+        out[f"up_{i}"] = q(f"up_{i}")
         for j in range(len(rks)):
-            rb = params[f"resblock_{i}_{j}"]
+            prefix = f"resblock_{i}_{j}/"
             out[f"resblock_{i}_{j}"] = {
-                name: _quantize_kernel(rb[name]) for name in rb
+                site[len(prefix):]: q(site)
+                for site in folded
+                if site.startswith(prefix)
             }
-    w, b = _fold(params["conv_post"])
-    out["conv_post"] = {
-        "w": np.asarray(jax.device_get(w), np.float32),
-        "bias": None if b is None else np.asarray(jax.device_get(b), np.float32),
-    }
+    w, b = folded["conv_post"]
+    out["conv_post"] = {"w": w, "bias": b}
     return out
+
+
+def quantize_generator_params(
+    params: dict, decoder_config: dict, smooth=None
+) -> dict:
+    """Quantize a trained HifiGANGenerator params subtree for int8 serving.
+
+    Host-side, once per checkpoint. Returns a pytree of numpy leaves
+    (int8 kernels + f32 scales/biases, plus per-site ``s_in`` SmoothQuant
+    vectors when ``smooth`` is given); ``conv_post`` keeps its folded
+    float kernel.
+    """
+    return _quantize_folded(
+        _fold_generator_params(params, decoder_config), decoder_config, smooth
+    )
+
+
+def build_smoothing(folded: dict, act_amax: dict, alpha: float) -> dict:
+    """SmoothQuant migration vectors: ``s_c = a_c^alpha / w_c^(1-alpha)``
+    per input channel (a_c = calibrated activation |max|, w_c = kernel
+    |max| over that input channel), geometric-mean normalized so the
+    overall scale level is untouched. alpha=1 is pure activation
+    equalization — measured best on trained CSMSC weights (rel-L2 0.018
+    vs 0.064 plain int8; per-tensor activation rounding is the dominant
+    error term, weights are per-channel and absorb the fold for free)."""
+    smooth = {}
+    for site, a_c in act_amax.items():
+        if site == "conv_post" or site not in folded:
+            continue
+        w, _ = folded[site]
+        w_c = np.max(
+            np.abs(w), axis=(0,) + tuple(range(2, w.ndim))
+        )  # per input channel
+        a_c = np.maximum(np.asarray(a_c, np.float32), 1e-5)
+        s = (a_c ** alpha) / (np.maximum(w_c, 1e-5) ** (1.0 - alpha))
+        s = s / np.exp(np.mean(np.log(np.maximum(s, 1e-8))))
+        smooth[site] = np.maximum(s, 1e-3).astype(np.float32)
+    return smooth
 
 
 # ------------------------------------------------------------ int8 compute
@@ -149,15 +232,22 @@ class _ActQuant:
         self.scales = scales
         self.observe = observe
 
-    def __call__(self, x, site: str):
+    def __call__(self, x, site: str, s_in=None):
         xf = x.astype(jnp.float32)
+        if s_in is not None:
+            # SmoothQuant: divide per input channel before rounding; the
+            # kernel's matching multiply makes the float product exact.
+            # Fuses into the preceding lrelu (constant-vector multiply).
+            xf = xf / jnp.asarray(s_in)
         if self.scales is not None:
             s = jnp.float32(self.scales[site])
         else:
-            amax = jnp.max(jnp.abs(xf))
+            amax_c = jnp.max(jnp.abs(xf), axis=tuple(range(xf.ndim - 1)))
             if self.observe is not None:
-                self.observe[site] = amax
-            s = jnp.maximum(amax, 1e-8) / 127.0
+                # per-input-channel amax: feeds both the per-tensor static
+                # scale (its max) and the SmoothQuant fold
+                self.observe[site] = amax_c
+            s = jnp.maximum(jnp.max(amax_c), 1e-8) / 127.0
         q = jnp.clip(jnp.round(xf / s), -127.0, 127.0).astype(jnp.int8)
         return q, s
 
@@ -176,15 +266,15 @@ def _lrelu(x, slope=GEN_LRELU):
 def _resblock_i8(qp, x, kernel_size, dilations, dtype, aq, site):
     for i, d in enumerate(dilations):
         h = _lrelu(x)
-        q, s = aq(h, f"{site}/conv1_{i}")
         n1 = qp[f"conv1_{i}"]
+        q, s = aq(h, f"{site}/conv1_{i}", n1.get("s_in"))
         h = _dequant(
             int8_conv1d(q, jnp.asarray(n1["w_q"]), (kernel_size - 1) // 2 * d, d),
             s, n1, dtype,
         )
         h = _lrelu(h)
-        q, s = aq(h, f"{site}/conv2_{i}")
         n2 = qp[f"conv2_{i}"]
+        q, s = aq(h, f"{site}/conv2_{i}", n2.get("s_in"))
         h = _dequant(
             int8_conv1d(q, jnp.asarray(n2["w_q"]), (kernel_size - 1) // 2),
             s, n2, dtype,
@@ -211,13 +301,13 @@ def int8_generator_apply(
     rds = [list(d) for d in decoder_config["resblock_dilation_sizes"]]
     aq = _ActQuant(scales=act_scales, observe=_observe)
 
-    q, s = aq(x, "conv_pre")
     node = qparams["conv_pre"]
+    q, s = aq(x, "conv_pre", node.get("s_in"))
     x = _dequant(int8_conv1d(q, jnp.asarray(node["w_q"]), 3), s, node, dtype)
     for i, (u, k) in enumerate(zip(rates, uks)):
         x = _lrelu(x)
-        q, s = aq(x, f"up_{i}")
         node = qparams[f"up_{i}"]
+        q, s = aq(x, f"up_{i}", node.get("s_in"))
         x = _dequant(
             int8_conv_transpose1d(q, jnp.asarray(node["w_q"]), u, (k - u) // 2),
             s, node, dtype,
@@ -244,14 +334,16 @@ class Int8Decoder:
     Built once from a trained ``HifiGANGenerator`` params subtree (e.g.
     ``variables['params']['decoder']`` of an MSMCVQGAN checkpoint — bf16
     casts are fine, folding runs in fp32). ``calibrate(feats)`` observes
-    per-site amax on representative decoder inputs (typically the first
-    inference batch) and freezes static scales with ``headroom`` margin;
-    ``apply(feats)`` is then jit-composable (static scales close over the
-    trace; ``qparams`` ride along as ordinary arguments).
+    per-site per-input-channel amax on representative decoder inputs
+    (typically the first inference batch), applies the SmoothQuant fold
+    (``smooth_alpha``; None disables), and freezes static per-tensor
+    scales with ``headroom`` margin; ``apply(feats)`` is then
+    jit-composable (static scales close over the trace; ``qparams`` ride
+    along as ordinary arguments).
     """
 
     def __init__(self, decoder_params, decoder_config, headroom: float = 1.1,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, smooth_alpha: Optional[float] = 1.0):
         self.decoder_config = {
             k: (list(v) if isinstance(v, (list, tuple)) else v)
             for k, v in dict(decoder_config).items()
@@ -259,15 +351,33 @@ class Int8Decoder:
         # numpy (host) leaves on purpose: closed-over DEVICE buffers would
         # force a D2H fetch mid-trace when this rides inside a jit (the
         # round-2 bench-gate failure mode); host arrays embed for free
-        self.qparams = quantize_generator_params(decoder_params, self.decoder_config)
+        self._folded = _fold_generator_params(decoder_params, self.decoder_config)
+        # unsmoothed quantization: the observation graph for calibrate()
+        # (re-calibration must always see RAW activation ranges) and the
+        # serving qparams until/unless calibrate applies the fold
+        self._qparams_base = _quantize_folded(self._folded, self.decoder_config)
+        self.qparams = self._qparams_base
         self.headroom = float(headroom)
         self.dtype = dtype
+        self.smooth_alpha = smooth_alpha
         self.scales: Optional[dict] = None
 
     def calibrate(self, feats) -> None:
-        self.scales = calibrate_act_scales(
-            self.qparams, [feats], self.decoder_config, headroom=self.headroom
-        )
+        amax = _observe_act_amax(self._qparams_base, [feats], self.decoder_config)
+        if self.smooth_alpha is not None:
+            smooth = build_smoothing(self._folded, amax, self.smooth_alpha)
+            self.qparams = _quantize_folded(
+                self._folded, self.decoder_config, smooth
+            )
+            # post-fold per-tensor amax is exactly max_c(a_c / s_c)
+            amax = {
+                site: a / smooth[site] if site in smooth else a
+                for site, a in amax.items()
+            }
+        self.scales = {
+            site: max(float(np.max(a)) * self.headroom, 1e-8) / 127.0
+            for site, a in amax.items()
+        }
 
     def apply(self, feats):
         """[B, T, C] decoder inputs -> [B, T*ratio, 1]; requires
@@ -281,13 +391,10 @@ class Int8Decoder:
         )
 
 
-def calibrate_act_scales(
-    qparams, batches, decoder_config, headroom: float = 1.0
-) -> dict:
+def _observe_act_amax(qparams, batches, decoder_config) -> dict:
     """Run representative inputs through the dynamic-quant graph and
-    return static per-site scales: max over batches of per-site amax,
-    times ``headroom``, divided by 127. One jitted call per batch shape."""
-    import jax
+    return per-site per-input-channel |max| vectors (numpy f32 [Cin]),
+    max-merged over batches. One jitted call per batch shape."""
 
     @jax.jit
     def observe(x):
@@ -298,9 +405,22 @@ def calibrate_act_scales(
     merged: dict = {}
     for x in batches:
         obs = jax.device_get(observe(x))
-        for site, amax in obs.items():
-            merged[site] = max(merged.get(site, 0.0), float(amax))
+        for site, amax_c in obs.items():
+            amax_c = np.asarray(amax_c, np.float32)
+            prev = merged.get(site)
+            merged[site] = amax_c if prev is None else np.maximum(prev, amax_c)
+    return merged
+
+
+def calibrate_act_scales(
+    qparams, batches, decoder_config, headroom: float = 1.0
+) -> dict:
+    """Static per-site per-tensor scales: max over batches of per-site
+    amax, times ``headroom``, divided by 127. If ``qparams`` carries a
+    SmoothQuant fold the observation already sees smoothed activations,
+    so the scales are correct either way."""
+    merged = _observe_act_amax(qparams, batches, decoder_config)
     return {
-        site: max(amax * headroom, 1e-8) / 127.0
-        for site, amax in merged.items()
+        site: max(float(np.max(amax_c)) * headroom, 1e-8) / 127.0
+        for site, amax_c in merged.items()
     }

@@ -156,6 +156,94 @@ def test_int8_task_analysis_synthesis(tmp_path, rng):
         assert rel < 0.25, rel
 
 
+def test_smoothquant_ones_fold_is_identity(rng):
+    """A SmoothQuant fold of all-ones vectors must be bit-identical to no
+    fold (the s_in divide and the kernel multiply are both exact no-ops),
+    proving the fold plumbing changes nothing but rounding geometry."""
+    from msmctts_tpu.ops.int8_generator import _fold_generator_params
+
+    g = HifiGANGenerator(num_mels=16, **CFG)
+    x = jnp.asarray(rng.normal(size=(2, 24, 16)).astype(np.float32))
+    v = g.init(jax.random.PRNGKey(0), x)
+    folded = _fold_generator_params(v["params"], CFG)
+    ones = {
+        site: np.ones(w.shape[-2], np.float32)
+        for site, (w, _) in folded.items()
+        if site != "conv_post"
+    }
+    qp_plain = quantize_generator_params(v["params"], CFG)
+    qp_ones = quantize_generator_params(v["params"], CFG, smooth=ones)
+    out_plain = np.asarray(int8_generator_apply(qp_plain, x, CFG, dtype=jnp.float32))
+    out_ones = np.asarray(int8_generator_apply(qp_ones, x, CFG, dtype=jnp.float32))
+    np.testing.assert_array_equal(out_plain, out_ones)
+
+
+def test_smoothquant_beats_plain_on_skewed_channels(rng):
+    """The fold's whole point: when activation ranges are skewed across
+    channels (4 decades here), per-tensor activation rounding destroys the
+    quiet channels; migrating the ranges into the per-channel-quantized
+    weights recovers them. Asserts the calibrated Int8Decoder with the
+    fold (default alpha=1) lands strictly closer to the float generator
+    than without it."""
+    from msmctts_tpu.ops.int8_generator import Int8Decoder
+
+    g = HifiGANGenerator(num_mels=16, **CFG)
+    skew = np.logspace(-2, 2, 16).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(2, 24, 16)).astype(np.float32) * skew)
+    v = g.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(g.apply(v, x), np.float32)
+
+    rels = {}
+    for alpha in (None, 1.0):
+        dec = Int8Decoder(
+            v["params"], CFG, headroom=1.0, dtype=jnp.float32,
+            smooth_alpha=alpha,
+        )
+        dec.calibrate(x)
+        got = np.asarray(dec.apply(x), np.float32)
+        rels[alpha] = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-12)
+    assert rels[1.0] < rels[None], rels
+    assert rels[1.0] < 0.05, rels
+
+
+def test_int8_decoder_smooth_calibration_state(rng):
+    """After calibrate(): every quantized site carries its s_in vector
+    (sized to the kernel's input channels), static scales cover the same
+    sites, and re-calibration on different data stays self-consistent
+    (observation always runs against the UNsmoothed base qparams)."""
+    from msmctts_tpu.ops.int8_generator import Int8Decoder
+
+    g = HifiGANGenerator(num_mels=16, **CFG)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16)).astype(np.float32))
+    v = g.init(jax.random.PRNGKey(2), x)
+    dec = Int8Decoder(v["params"], CFG, dtype=jnp.float32)
+    dec.calibrate(x)
+    sites = set(dec.scales)
+    assert "conv_pre" in sites and "up_0" in sites
+    assert "conv_post" not in sites
+
+    def check(qp, prefix=""):
+        for name, node in qp.items():
+            if name == "conv_post":
+                assert "s_in" not in node
+            elif "w_q" in node:
+                assert node["s_in"].shape == (node["w_q"].shape[-2],), name
+                assert np.all(node["s_in"] > 0)
+            else:  # resblock subtree
+                check(node, prefix + name + "/")
+
+    check(dec.qparams)
+
+    first = {k: float(s) for k, s in dec.scales.items()}
+    first_sin = np.array(dec.qparams["conv_pre"]["s_in"])
+    dec.calibrate(x * 3.0)
+    # same shape stats, scaled input -> scales move, s_in stays finite
+    assert set(dec.scales) == set(first)
+    assert dec.scales["conv_pre"] > first["conv_pre"]
+    assert np.all(np.isfinite(dec.qparams["conv_pre"]["s_in"]))
+    assert first_sin.shape == dec.qparams["conv_pre"]["s_in"].shape
+
+
 def test_int8_quantize_scales_per_channel(rng):
     g = HifiGANGenerator(num_mels=16, **CFG)
     x = jnp.asarray(rng.normal(size=(1, 8, 16)).astype(np.float32))
