@@ -231,6 +231,8 @@ class MSMCTTS(BaseTask):
         # first-batch-calibrated static activation scales, measured 1.2x
         # the bf16 decoder on v5e (ops/int8_generator.py).
         self.int8_decoder: bool = False
+        # SmoothQuant strength for that decoder (None disables the fold).
+        self.int8_smooth_alpha: Optional[float] = 1.0
         # Optional data-parallel inference mesh (``use_mesh``).
         self._mesh = None
         from msmctts_tpu.parallel.precision import compute_dtype
@@ -375,6 +377,7 @@ class MSMCTTS(BaseTask):
                 self.variables["autoencoder"]["params"]["decoder"],
                 dict(ae.decoder_config),
                 dtype=self.compute_dtype,
+                smooth_alpha=self.int8_smooth_alpha,
             )
             self._jit_cache["int8"] = i8
         return i8

@@ -36,6 +36,8 @@ def main():
                     help="iterations to evaluate (default: all model_* found)")
     ap.add_argument("-b", "--batch-size", type=int, default=2)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--smooth-alpha", type=float, default=1.0,
+                    help="SmoothQuant strength for --int8 (<0 disables)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -74,6 +76,9 @@ def main():
     task = build_task(config, mode="infer")
     if args.int8:
         task.int8_decoder = True
+        task.int8_smooth_alpha = (
+            None if args.smooth_alpha < 0 else args.smooth_alpha
+        )
 
     test_config = Config(config.to_dict())
     test_config["dataset"] = config.get("testset", config.dataset)
@@ -102,7 +107,9 @@ def main():
               flush=True)
 
     line = json.dumps({"metric": "as_mcd_db", "sample_rate": sr,
-                       "int8": args.int8, "snapshots": results})
+                       "int8": args.int8,
+                       "smooth_alpha": task.int8_smooth_alpha if args.int8 else None,
+                       "snapshots": results})
     print(line)
     if args.out:
         with open(args.out, "w") as f:
