@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from msmctts_tpu.ops.fused_generator import _conv1d, _fold
+from msmctts_tpu.ops.fused_generator import _conv1d, _conv_transpose1d, _fold
 
 GEN_LRELU = 0.1
 
@@ -100,16 +100,28 @@ def _quantize_folded_kernel(w, b, s_in=None) -> dict:
     return node
 
 
-def _quantize_folded(folded: dict, decoder_config: dict, smooth=None) -> dict:
+def _is_float_site(site: str, float_sites) -> bool:
+    return any(site == p or site.startswith(p) for p in float_sites)
+
+
+def _quantize_folded(
+    folded: dict, decoder_config: dict, smooth=None, float_sites=()
+) -> dict:
     """Flat folded-float dict -> the nested qparams pytree
     ``int8_generator_apply`` consumes. ``smooth``: optional
-    ``site -> f32 [in]`` SmoothQuant vectors (``conv_post`` ignored)."""
+    ``site -> f32 [in]`` SmoothQuant vectors (``conv_post`` ignored).
+    ``float_sites``: site-name prefixes kept as folded FLOAT kernels
+    (mixed-precision fallback, e.g. ``("up_0", "resblock_0_")`` keeps the
+    first upsample stage in bf16 while the narrow bandwidth-bound tail
+    stays int8)."""
     smooth = smooth or {}
     rates = list(decoder_config["upsample_rates"])
     rks = list(decoder_config["resblock_kernel_sizes"])
 
     def q(site):
         w, b = folded[site]
+        if _is_float_site(site, float_sites):
+            return {"w": w, "bias": b}
         return _quantize_folded_kernel(w, b, smooth.get(site))
 
     out = {"conv_pre": q("conv_pre")}
@@ -128,17 +140,18 @@ def _quantize_folded(folded: dict, decoder_config: dict, smooth=None) -> dict:
 
 
 def quantize_generator_params(
-    params: dict, decoder_config: dict, smooth=None
+    params: dict, decoder_config: dict, smooth=None, float_sites=()
 ) -> dict:
     """Quantize a trained HifiGANGenerator params subtree for int8 serving.
 
     Host-side, once per checkpoint. Returns a pytree of numpy leaves
     (int8 kernels + f32 scales/biases, plus per-site ``s_in`` SmoothQuant
-    vectors when ``smooth`` is given); ``conv_post`` keeps its folded
-    float kernel.
+    vectors when ``smooth`` is given); ``conv_post`` (and any
+    ``float_sites`` match) keeps its folded float kernel.
     """
     return _quantize_folded(
-        _fold_generator_params(params, decoder_config), decoder_config, smooth
+        _fold_generator_params(params, decoder_config), decoder_config,
+        smooth, float_sites,
     )
 
 
@@ -263,21 +276,34 @@ def _lrelu(x, slope=GEN_LRELU):
     return jnp.where(x >= 0, x, slope * x)
 
 
+def _site_conv(node, x, padding, dilation, dtype, aq, site):
+    """One conv site: int8 (quantize-conv-dequant) or the float fallback
+    when the node carries a float kernel (``float_sites``)."""
+    if "w" in node:
+        y = _conv1d(
+            x.astype(dtype), jnp.asarray(node["w"]).astype(dtype),
+            None if node["bias"] is None else jnp.asarray(node["bias"]).astype(dtype),
+            padding=padding, dilation=dilation,
+        )
+        return y.astype(dtype)
+    q, s = aq(x, site, node.get("s_in"))
+    return _dequant(
+        int8_conv1d(q, jnp.asarray(node["w_q"]), padding, dilation),
+        s, node, dtype,
+    )
+
+
 def _resblock_i8(qp, x, kernel_size, dilations, dtype, aq, site):
     for i, d in enumerate(dilations):
         h = _lrelu(x)
-        n1 = qp[f"conv1_{i}"]
-        q, s = aq(h, f"{site}/conv1_{i}", n1.get("s_in"))
-        h = _dequant(
-            int8_conv1d(q, jnp.asarray(n1["w_q"]), (kernel_size - 1) // 2 * d, d),
-            s, n1, dtype,
+        h = _site_conv(
+            qp[f"conv1_{i}"], h, (kernel_size - 1) // 2 * d, d, dtype, aq,
+            f"{site}/conv1_{i}",
         )
         h = _lrelu(h)
-        n2 = qp[f"conv2_{i}"]
-        q, s = aq(h, f"{site}/conv2_{i}", n2.get("s_in"))
-        h = _dequant(
-            int8_conv1d(q, jnp.asarray(n2["w_q"]), (kernel_size - 1) // 2),
-            s, n2, dtype,
+        h = _site_conv(
+            qp[f"conv2_{i}"], h, (kernel_size - 1) // 2, 1, dtype, aq,
+            f"{site}/conv2_{i}",
         )
         x = x + h
     return x
@@ -301,17 +327,23 @@ def int8_generator_apply(
     rds = [list(d) for d in decoder_config["resblock_dilation_sizes"]]
     aq = _ActQuant(scales=act_scales, observe=_observe)
 
-    node = qparams["conv_pre"]
-    q, s = aq(x, "conv_pre", node.get("s_in"))
-    x = _dequant(int8_conv1d(q, jnp.asarray(node["w_q"]), 3), s, node, dtype)
+    x = _site_conv(qparams["conv_pre"], x, 3, 1, dtype, aq, "conv_pre")
     for i, (u, k) in enumerate(zip(rates, uks)):
         x = _lrelu(x)
         node = qparams[f"up_{i}"]
-        q, s = aq(x, f"up_{i}", node.get("s_in"))
-        x = _dequant(
-            int8_conv_transpose1d(q, jnp.asarray(node["w_q"]), u, (k - u) // 2),
-            s, node, dtype,
-        )
+        if "w" in node:
+            x = _conv_transpose1d(
+                x.astype(dtype), jnp.asarray(node["w"]).astype(dtype),
+                None if node["bias"] is None
+                else jnp.asarray(node["bias"]).astype(dtype),
+                u, (k - u) // 2,
+            ).astype(dtype)
+        else:
+            q, s = aq(x, f"up_{i}", node.get("s_in"))
+            x = _dequant(
+                int8_conv_transpose1d(q, jnp.asarray(node["w_q"]), u, (k - u) // 2),
+                s, node, dtype,
+            )
         acc = None
         for j, rk in enumerate(rks):
             r = _resblock_i8(
@@ -339,11 +371,16 @@ class Int8Decoder:
     (``smooth_alpha``; None disables), and freezes static per-tensor
     scales with ``headroom`` margin; ``apply(feats)`` is then
     jit-composable (static scales close over the trace; ``qparams`` ride
-    along as ordinary arguments).
+    along as ordinary arguments). ``float_sites`` keeps matching sites in
+    float (mixed-precision fallback; measured NOT to improve trained-
+    weights AS-MCD — the residual int8 error is distributed rounding
+    noise, see ab_int8_r4.json — but kept as the escape hatch for models
+    where it does).
     """
 
     def __init__(self, decoder_params, decoder_config, headroom: float = 1.1,
-                 dtype=jnp.bfloat16, smooth_alpha: Optional[float] = 1.0):
+                 dtype=jnp.bfloat16, smooth_alpha: Optional[float] = 1.0,
+                 float_sites=()):
         self.decoder_config = {
             k: (list(v) if isinstance(v, (list, tuple)) else v)
             for k, v in dict(decoder_config).items()
@@ -352,10 +389,13 @@ class Int8Decoder:
         # force a D2H fetch mid-trace when this rides inside a jit (the
         # round-2 bench-gate failure mode); host arrays embed for free
         self._folded = _fold_generator_params(decoder_params, self.decoder_config)
+        self.float_sites = tuple(float_sites)
         # unsmoothed quantization: the observation graph for calibrate()
         # (re-calibration must always see RAW activation ranges) and the
         # serving qparams until/unless calibrate applies the fold
-        self._qparams_base = _quantize_folded(self._folded, self.decoder_config)
+        self._qparams_base = _quantize_folded(
+            self._folded, self.decoder_config, float_sites=self.float_sites
+        )
         self.qparams = self._qparams_base
         self.headroom = float(headroom)
         self.dtype = dtype
@@ -367,7 +407,8 @@ class Int8Decoder:
         if self.smooth_alpha is not None:
             smooth = build_smoothing(self._folded, amax, self.smooth_alpha)
             self.qparams = _quantize_folded(
-                self._folded, self.decoder_config, smooth
+                self._folded, self.decoder_config, smooth,
+                float_sites=self.float_sites,
             )
             # post-fold per-tensor amax is exactly max_c(a_c / s_c)
             amax = {

@@ -233,6 +233,9 @@ class MSMCTTS(BaseTask):
         self.int8_decoder: bool = False
         # SmoothQuant strength for that decoder (None disables the fold).
         self.int8_smooth_alpha: Optional[float] = 1.0
+        # Mixed-precision fallback: site-name prefixes kept in bf16
+        # (e.g. ("up_0", "resblock_0_") = first upsample stage float).
+        self.int8_float_sites: tuple = ()
         # Optional data-parallel inference mesh (``use_mesh``).
         self._mesh = None
         from msmctts_tpu.parallel.precision import compute_dtype
@@ -378,6 +381,7 @@ class MSMCTTS(BaseTask):
                 dict(ae.decoder_config),
                 dtype=self.compute_dtype,
                 smooth_alpha=self.int8_smooth_alpha,
+                float_sites=self.int8_float_sites,
             )
             self._jit_cache["int8"] = i8
         return i8

@@ -254,3 +254,52 @@ def test_int8_quantize_scales_per_channel(rng):
     # scale reconstructs the folded kernel to within one quantization step
     w_deq = node["w_q"].astype(np.float32) * node["scale"]
     assert np.all(np.abs(w_deq) <= 127.0 * node["scale"] + 1e-6)
+
+
+def test_int8_float_sites_hybrid(rng):
+    """Mixed-precision fallback: float_sites prefixes keep their folded
+    FLOAT kernels (no w_q), apply still runs, and the fallback sites are
+    numerically exact vs the flax generator (the all-float extreme equals
+    the fp32 generator up to fold rounding)."""
+    from msmctts_tpu.ops.int8_generator import Int8Decoder
+
+    g = HifiGANGenerator(num_mels=16, **CFG)
+    x = jnp.asarray(rng.normal(size=(2, 24, 16)).astype(np.float32))
+    v = g.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(g.apply(v, x), np.float32)
+
+    # stage-0 fallback: up_0 + its resblocks stay float
+    qp = quantize_generator_params(
+        v["params"], CFG, float_sites=("up_0", "resblock_0_")
+    )
+    assert "w" in qp["up_0"] and "w_q" not in qp["up_0"]
+    assert "w" in qp["resblock_0_0"]["conv1_0"]
+    assert qp["up_1"]["w_q"].dtype == np.int8  # stage 1 still int8
+    got = np.asarray(
+        int8_generator_apply(qp, x, CFG, dtype=jnp.float32), np.float32
+    )
+    rel_hybrid = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-12)
+    assert rel_hybrid < 0.05, rel_hybrid
+
+    # all-float extreme: every site float => equals the flax generator
+    # (weight-norm fold is the only difference, ~1e-6)
+    qp_all = quantize_generator_params(
+        v["params"], CFG, float_sites=("conv_pre", "up_", "resblock_")
+    )
+    got_all = np.asarray(
+        int8_generator_apply(qp_all, x, CFG, dtype=jnp.float32), np.float32
+    )
+    rel_all = np.linalg.norm(got_all - want) / (np.linalg.norm(want) + 1e-12)
+    assert rel_all < 1e-4, rel_all
+
+    # Int8Decoder path: calibration only produces scales for QUANTIZED
+    # sites, and apply works end-to-end with SmoothQuant + fallback
+    dec = Int8Decoder(
+        v["params"], CFG, dtype=jnp.float32,
+        float_sites=("up_0", "resblock_0_"),
+    )
+    dec.calibrate(x)
+    assert not any(s.startswith(("up_0", "resblock_0_")) for s in dec.scales)
+    y = np.asarray(dec.apply(x), np.float32)
+    rel_dec = np.linalg.norm(y - want) / (np.linalg.norm(want) + 1e-12)
+    assert rel_dec < 0.05, rel_dec

@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--smooth-alpha", type=float, default=1.0,
                     help="SmoothQuant strength for --int8 (<0 disables)")
+    ap.add_argument("--float-sites", nargs="*", default=[],
+                    help="site-name prefixes kept bf16 under --int8 "
+                         "(e.g. up_0 resblock_0_)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -79,6 +82,7 @@ def main():
         task.int8_smooth_alpha = (
             None if args.smooth_alpha < 0 else args.smooth_alpha
         )
+        task.int8_float_sites = tuple(args.float_sites)
 
     test_config = Config(config.to_dict())
     test_config["dataset"] = config.get("testset", config.dataset)
@@ -109,6 +113,7 @@ def main():
     line = json.dumps({"metric": "as_mcd_db", "sample_rate": sr,
                        "int8": args.int8,
                        "smooth_alpha": task.int8_smooth_alpha if args.int8 else None,
+                       "float_sites": list(args.float_sites) or None,
                        "snapshots": results})
     print(line)
     if args.out:
