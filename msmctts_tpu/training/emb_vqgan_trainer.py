@@ -369,6 +369,51 @@ class EmbVQGANTrainer(VQGANTrainer):
         state, vec = self._emb_steps[key](state, batch, np.uint32(iteration))
         return state, self._unpack_metrics(f"emb_{decode}_{gan}", vec)
 
+    def evaluate(self, batch, logger, iteration):
+        """Emb-family analysis-synthesis of the first batch utterance.
+
+        Overrides VQGANTrainer.evaluate, whose mel/mel_length signature
+        does not exist in the EmbDataset batch (emb/pitch/energy inputs,
+        emb_length): full-utterance forward, waveform + predicted-mel
+        heatmap to tensorboard."""
+        import numpy as np
+
+        if logger.writer is None:
+            return
+        if self._eval_fn is None:
+            def _eval(params, codebook, batch_stats, emb, emb_length,
+                      pitch, energy, mel):
+                variables = {"params": params, "codebook": codebook}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                out = self.ae.apply(
+                    variables, emb, emb_length,
+                    pitch=pitch, energy=energy, mel=mel,
+                    deterministic=True,
+                )
+                return out["decoder_outputs"], out.get("mel_outputs")
+            self._eval_fn = jax.jit(_eval)
+
+        from msmctts_tpu.parallel.mesh import host_local_rows
+
+        emb = jnp.asarray(host_local_rows(batch["emb"], 1))
+        length = jnp.asarray(host_local_rows(batch["emb_length"], 1))
+        pitch = jnp.asarray(host_local_rows(batch["pitch"], 1))
+        energy = jnp.asarray(host_local_rows(batch["energy"], 1))
+        mel = jnp.asarray(host_local_rows(batch["mel"], 1))
+        wav, pred_mel = self._eval_fn(
+            self.state["params"]["autoencoder"], self.state["codebook"],
+            self.state.get("model_state", {}).get("batch_stats", {}),
+            emb, length, pitch, energy, mel,
+        )
+        wav = np.asarray(wav)[0, : int(length[0]) * (wav.shape[1] // emb.shape[1]), 0]
+        payload = {"audio": {"eval/wav": (wav, self.samplerate)}}
+        if pred_mel is not None:
+            m = np.asarray(pred_mel)[0, : int(length[0])].T  # [D, T]
+            m = (m - m.min()) / max(m.max() - m.min(), 1e-6)
+            payload["image"] = {"eval/pred_mel": m[..., None]}
+        logger.log(iteration, payload)
+
 
 @register_trainer("NASynEmbFSTrainer")
 class NASynEmbFSTrainer(BaseTrainer):

@@ -120,11 +120,17 @@ def make_handler(engine, ready: threading.Event, request_timeout: float):
             pass
 
         def _send(self, code: int, body: bytes, ctype: str):
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            try:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except (BrokenPipeError, ConnectionResetError):
+                # client hung up mid-response (e.g. a health poller with a
+                # short timeout during warmup) — not a server error; keep
+                # ThreadingHTTPServer from dumping a traceback per poll
+                self.close_connection = True
 
         def _json(self, code: int, obj: dict):
             self._send(code, json.dumps(obj).encode(), "application/json")

@@ -107,6 +107,31 @@ def test_emb_trainer_1_vs_8_device_parity(run1, run8):
             )
 
 
+def test_emb_trainer_evaluate(corpus, global_batch, run1):
+    """evaluate() must accept the EmbDataset batch signature (regression:
+    the inherited VQGANTrainer.evaluate KeyError'd on 'mel_length' when the
+    r4 emb-stage training hit its first eval interval)."""
+    from types import SimpleNamespace
+
+    config = tiny_emb_config(corpus)
+    task = build_task(config, mode="train")
+    mesh = make_mesh(1)
+    trainer = get_trainer("EmbVQGANTrainer")(
+        config, task, mesh=mesh, **component_kwargs(config.trainer)
+    )
+    state, _ = run1
+    trainer.state = state
+    payloads = []
+    logger = SimpleNamespace(
+        writer=object(), log=lambda it, payload: payloads.append(payload)
+    )
+    trainer.evaluate(shard_batch(global_batch, mesh), logger, 10)
+    assert payloads and "audio" in payloads[0]
+    wav, sr = payloads[0]["audio"]["eval/wav"]
+    assert np.isfinite(np.asarray(wav)).all()
+    assert wav.ndim == 1 and wav.size > 0
+
+
 def test_nasyn_predictor_trainer(corpus, run1):
     """QS-TTS predictor against the frozen emb autoencoder saved by run1."""
     from msmctts_tpu.utils.checkpoint import find_latest_checkpoint
