@@ -148,15 +148,36 @@ def derive_config(stage, corpus, out, steps, ckpt_every, ae_checkpoint,
 
 
 def supervise(yaml_path, log_every, max_restarts):
-    """Restart-on-crash loop; rc 0 = training_steps reached."""
+    """Restart-on-crash loop. rc 0 alone is NOT completion: a graceful
+    preemption snapshot (SIGTERM mid-run) also exits 0 by design
+    (tests/test_preemption.py), so completion is judged by the latest
+    snapshot reaching training_steps."""
+    import yaml
+
+    from msmctts_tpu.utils.checkpoint import (
+        checkpoint_step,
+        find_latest_checkpoint,
+    )
+
+    with open(yaml_path) as f:
+        cfg = yaml.safe_load(f)
+    target = int(cfg["training_steps"])
+    ckpt_dir = cfg["save_checkpoint_dir"]
+
     for attempt in range(max_restarts + 1):
         cmd = [sys.executable, os.path.join(REPO, "train.py"), "-c", yaml_path,
                "--log-every", str(log_every)]
         print(f"[supervisor] attempt {attempt}: {' '.join(cmd)}", flush=True)
         rc = subprocess.call(cmd)
-        if rc == 0:
+        latest = find_latest_checkpoint(ckpt_dir)
+        reached = checkpoint_step(latest) if latest else 0
+        if rc == 0 and reached >= target:
             print("[supervisor] training completed", flush=True)
             return 0
+        if rc == 0:
+            print(f"[supervisor] clean exit at step {reached} < {target} "
+                  f"(graceful preemption); resuming", flush=True)
+            continue
         print(f"[supervisor] train.py exited rc={rc}; restarting in 5 s "
               f"(auto-resume from the latest snapshot)", flush=True)
         time.sleep(5)
