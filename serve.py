@@ -20,9 +20,14 @@ GET  /stats        engine counters: batching, latency percentiles,
 
 The engine pins one device batch size, a text-bucket ladder, and a
 per-utterance frame cap (--max-frames, dynamic mode) and pre-compiles
-every reachable graph at startup, so no blocking request ever waits on
-XLA — streaming decode graphs too with --warmup-streaming
-(msmctts_tpu/serving.py). The reference has no serving surface; this wraps
+every reachable graph at startup — streaming decode graphs included by
+default whenever the decoder can stream — so no request ever waits on
+XLA (msmctts_tpu/serving.py). Warmup populates the persistent compile
+cache: run once with --warmup-only at deploy time and every later start
+reaches /healthz in seconds. For latency-bound deploys shrink the graph
+product with --max-frames (fewer reachable frame buckets) and
+--warmup-lengths (fewer text buckets), or pin one shape with
+--static-frames. The reference has no serving surface; this wraps
 the same task path its infer.py drives (/root/reference/infer.py:45-91).
 """
 
@@ -276,8 +281,21 @@ def main():
                         "text x frame bucket product; 1024 = 12.8 s "
                         "at 24 kHz/300)")
     p.add_argument("--warmup-streaming", action="store_true",
-                   help="also pre-compile the chunked streaming-decode "
-                        "graphs (roughly doubles warmup)")
+                   help="force streaming-decode warmup (error if the "
+                        "decoder cannot stream); default is auto — "
+                        "streaming graphs are warmed whenever the task "
+                        "supports streaming")
+    p.add_argument("--no-warmup-streaming", action="store_true",
+                   help="skip streaming-decode warmup (halves warmup "
+                        "time); cold streaming requests are then refused "
+                        "up front instead of compiling in the worker")
+    p.add_argument("--warmup-only", action="store_true",
+                   help="run the full warmup (populating the persistent "
+                        "XLA compile cache, MSMCTTS_COMPILE_CACHE) and "
+                        "exit without serving — pay the cold-start "
+                        "compile cost once offline; a later serve.py "
+                        "start on the warmed cache reaches /healthz in "
+                        "seconds")
     p.add_argument("--int8", action="store_true",
                    help="int8 PTQ HiFi-GAN decoder (1.65x e2e on v5e)")
     p.add_argument("--mesh-devices", type=int, default=1, metavar="N",
@@ -304,6 +322,21 @@ def main():
     enable_compilation_cache()
 
 
+    if args.warmup_streaming and args.no_warmup_streaming:
+        p.error("--warmup-streaming conflicts with --no-warmup-streaming")
+    include_streaming = (
+        True if args.warmup_streaming
+        else False if args.no_warmup_streaming
+        else None  # auto: warm streaming whenever the task supports it
+    )
+
+    if args.warmup_only:
+        engine = build_engine(args)
+        secs = engine.warmup(args.warmup_lengths, include_streaming=include_streaming)
+        print(json.dumps({"warmup_s": round(secs, 1),
+                          "streaming_warmed": engine._streaming_warm}), flush=True)
+        sys.exit(0)
+
     engine = build_engine(args).start()
     ready = threading.Event()
     server = ThreadingHTTPServer(
@@ -313,9 +346,11 @@ def main():
     def _warm():
         if not args.no_warmup:
             secs = engine.warmup(
-                args.warmup_lengths, include_streaming=args.warmup_streaming
+                args.warmup_lengths, include_streaming=include_streaming
             )
-            print(f"warmup: compiled serving graphs in {secs:.1f}s", flush=True)
+            print(f"warmup: compiled serving graphs in {secs:.1f}s "
+                  f"(streaming={'warm' if engine._streaming_warm else 'off'})",
+                  flush=True)
         ready.set()
         print(f"serving on http://{args.host}:{server.server_port}", flush=True)
 

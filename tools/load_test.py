@@ -118,6 +118,8 @@ def diff_stats(before: dict, after: dict) -> dict:
         k: after[k] - before[k]
         for k in ("requests", "batches", "errors")
     }
+    if "xla_compiles" in after:  # 0 == the warmup no-compile guarantee held
+        d["xla_compiles"] = after["xla_compiles"] - before.get("xla_compiles", 0)
     d["mean_batch_size"] = (d["requests"] / d["batches"]) if d["batches"] else None
     d["audio_seconds"] = round(after["audio_seconds"] - before["audio_seconds"], 3)
     # cumulative, not windowed — still useful as the run-wide figure
@@ -256,6 +258,7 @@ def main():
             rand_text(rng, args.n_symbols, args.min_tokens, args.max_tokens),
             args.timeout,
         )
+        stats0 = get_json(base + "/stats")
         for level in args.levels:
             row = run_level(base, level, args.requests, rng, args)
             print(json.dumps(row), flush=True)
@@ -266,6 +269,15 @@ def main():
             )
             print(json.dumps({"streaming": report["streaming"]}), flush=True)
         report["final_stats"] = get_json(base + "/stats")
+        if "xla_compiles" in report["final_stats"]:
+            # the measured claim, as a number in the artifact (ADVICE r4 #1):
+            # XLA compiles that happened while load was applied (post-prime)
+            report["xla_compiles_during_run"] = (
+                report["final_stats"]["xla_compiles"]
+                - stats0.get("xla_compiles", 0)
+            )
+            print(json.dumps({"xla_compiles_during_run":
+                              report["xla_compiles_during_run"]}), flush=True)
         if args.out:
             with open(args.out, "w") as f:
                 json.dump(report, f, indent=2)
