@@ -522,6 +522,200 @@ def bench_train_step(args):
     )
 
 
+def bench_train_profile(args):
+    """GAN train-step budget + MFU (VERDICT r4 next #2).
+
+    Times three chained in-graph programs (same methodology as
+    --train-step) whose differences isolate the step's cost centers:
+
+      full    the shipped GAN step: AE fwd (vjp) + D update (2B-batched
+              fake/real pass) + G losses vs updated D + pullback + both
+              optimizer updates + EMA codebooks.
+      noadv   the same minus every discriminator: AE fwd + VQ/frame/STFT
+              losses + pullback + AE update.
+      warmup  the warmup-phase step (no waveform decode, no STFT loss).
+
+    budget:  discriminators   = full - noadv   (MRD+MPD fwd x2 + bwd x2 + D opt)
+             decoder+stft     = noadv - warmup (HiFi-GAN fwd+bwd on the
+                                12000-sample windows + mel/STFT loss)
+             encoder+vq+frame = warmup         (full-utterance FFT encoder,
+                                quantizer EMA, frame decoder, fwd+bwd)
+
+    MFU: analytic model FLOPs of the full step from XLA's cost analysis
+    (compiled executable), divided by measured wall and the v5e bf16 MXU
+    peak (197 TFLOP/s/chip). Writes the full breakdown to
+    --profile-out (default train_profile.json) and emits the usual ONE
+    JSON line (metric train_step_mfu_pct).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from msmctts_tpu.config import Config, component_kwargs
+    from msmctts_tpu.data.wire import decode_batch
+    from msmctts_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+    from msmctts_tpu.registry import get_trainer
+    from msmctts_tpu.tasks import build_task
+
+    config = Config(AE_YAML)
+    config.task.autoencoder.quantizer_config["use_pallas"] = _vq_pallas_value(
+        args.vq_pallas
+    )
+    config["precision"] = "float32" if args.fp32 else "bfloat16"
+    task = build_task(config, mode="train")
+    mesh = make_mesh()
+    tr = get_trainer("VQGANTrainer")(
+        config, task, mesh=mesh, **component_kwargs(config.trainer)
+    )
+
+    B, T = args.batch, args.frames
+    rng = np.random.default_rng(0)
+
+    def make_batch():
+        return {
+            "mel": rng.normal(size=(B, T, 80)).astype(np.float32),
+            "mel_length": np.full((B,), T, np.int32),
+            "wav": (rng.normal(size=(B, T * FRAMESHIFT)) * 0.1).astype(np.float32),
+        }
+
+    state = tr.init_state(jax.random.PRNGKey(0), make_batch())
+    state = replicate_state(state, mesh)
+    it0 = tr.warmup_steps + 1
+
+    def noadv_impl(state, batch, step):
+        """tr._gan_step_impl minus every discriminator term (bench-only
+        decomposition twin; windows/dropout RNG identical)."""
+        b = decode_batch(batch)
+        rng_ = jax.random.fold_in(jax.random.PRNGKey(tr.seed), step)
+        mel, mel_length, wav = b["mel"], b["mel_length"], b["wav"]
+        r_win, r_drop = jax.random.split(rng_)
+        maxval = jnp.maximum(mel_length.astype(jnp.int32) - tr.frame_lengths, 1)
+        starts = jax.random.randint(r_win, (mel.shape[0],), 0, maxval)
+        target = jax.vmap(
+            lambda w, s: jax.lax.dynamic_slice(
+                w, (s * tr.frameshift,), (tr.sample_lengths,)
+            )
+        )(wav, starts)
+        bs = state.get("model_state", {}).get("batch_stats") or None
+
+        def fwd(params):
+            return tr._ae_diffable(
+                params, state["codebook"], mel, mel_length, r_drop, False,
+                starts, batch_stats=bs,
+            )
+
+        diffable, ae_vjp, aux = jax.vjp(fwd, state["params"]["autoencoder"], has_aux=True)
+
+        def g_loss_fn(dif):
+            g, _ = tr._base_g_loss(dif, aux, mel, mel_length)
+            g = g + tr.lambda_stft * sum(tr._stft_loss(dif["fake"], target).values())
+            return g
+
+        g, ct = jax.value_and_grad(g_loss_fn)(diffable)
+        (ae_grads,) = ae_vjp(ct)
+        upd, new_opt = tr.ae_tx.update(
+            ae_grads, state["opt_state"]["autoencoder"], state["params"]["autoencoder"]
+        )
+        new_state = dict(
+            state,
+            params=dict(state["params"], autoencoder=optax.apply_updates(
+                state["params"]["autoencoder"], upd)),
+            codebook=aux["codebook"],
+            model_state={"batch_stats": aux["batch_stats"]},
+            opt_state=dict(state["opt_state"], autoencoder=new_opt),
+        )
+        return new_state, jnp.reshape(g, (1,))
+
+    def make_chained(step_impl, iters, step0):
+        @jax.jit
+        def chained(state, batch):
+            def body(carry, i):
+                st, _ = carry
+                st, vec = step_impl(st, batch, step0 + i)
+                return (st, jnp.sum(vec)), ()
+
+            (st, s), _ = jax.lax.scan(
+                body, (state, jnp.float32(0)), jnp.arange(iters, dtype=jnp.uint32)
+            )
+            return s
+
+        return chained
+
+    def phase_time(step_impl, keys, step0):
+        n = max(args.runs, 2)
+        c1 = make_chained(step_impl, 1, step0)
+        cn = make_chained(step_impl, n, step0)
+
+        def best_of(fn, trials=3):
+            ts = []
+            for _ in range(trials):
+                b = shard_batch(
+                    {k: v for k, v in make_batch().items() if k in keys}, mesh
+                )
+                jax.block_until_ready(b)
+                t0 = time.perf_counter()
+                float(fn(state, b))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        best_of(c1, 1), best_of(cn, 1)  # compile + warm
+        return (best_of(cn) - best_of(c1)) / (n - 1)
+
+    gan_keys = ("mel", "mel_length", "wav")
+    t_full = phase_time(tr._gan_step_impl, gan_keys, np.uint32(it0))
+    t_noadv = phase_time(noadv_impl, gan_keys, np.uint32(it0))
+    t_warm = phase_time(tr._warmup_step_impl, ("mel", "mel_length"), np.uint32(1))
+
+    # analytic model FLOPs of ONE full step from the compiled executable
+    flops = None
+    try:
+        b = shard_batch({k: v for k, v in make_batch().items() if k in gan_keys}, mesh)
+        comp = (
+            jax.jit(tr._gan_step_impl)
+            .lower(state, b, np.uint32(it0))
+            .compile()
+        )
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+
+    peak = 197e12  # v5e bf16 MXU peak per chip
+    mfu = (flops / t_full / peak * 100.0) if flops else None
+    budget = {
+        "precision": "float32" if args.fp32 else "bfloat16",
+        "batch": B,
+        "frames": T,
+        "window_samples": tr.sample_lengths,
+        "steps_per_sec": {
+            "full_gan": round(1.0 / t_full, 2),
+            "no_discriminators": round(1.0 / t_noadv, 2),
+            "warmup_phase": round(1.0 / t_warm, 2),
+        },
+        "step_ms": {
+            "full_gan": round(t_full * 1e3, 1),
+            "discriminators (full - noadv)": round((t_full - t_noadv) * 1e3, 1),
+            "decoder+stft (noadv - warmup)": round((t_noadv - t_warm) * 1e3, 1),
+            "encoder+vq+frame (warmup)": round(t_warm * 1e3, 1),
+        },
+        "model_flops_per_step": flops,
+        "model_tflops_per_sec": round(flops / t_full / 1e12, 1) if flops else None,
+        "mfu_pct_vs_v5e_bf16_peak": round(mfu, 1) if mfu else None,
+        "method": "chained in-graph scan, differenced vs 1-step chain",
+    }
+    print(json.dumps(budget, indent=2), file=sys.stderr)
+    with open(args.profile_out, "w") as f:
+        json.dump(budget, f, indent=2)
+    _emit(
+        "train_step_mfu_pct",
+        mfu if mfu else 0.0,
+        "pct_of_v5e_bf16_peak",
+        (1.0 / t_full) * 86400.0 / 800000.0,
+    )
+
+
 def bench_e2e_infer(args):
     import jax
 
@@ -603,6 +797,12 @@ def main():
                         help="benchmark in float32 instead of bfloat16")
     parser.add_argument("--train-step", action="store_true",
                         help="benchmark the CSMSC-scale GAN train step")
+    parser.add_argument("--train-profile", action="store_true",
+                        help="GAN train-step budget split (discriminators / "
+                        "decoder+stft / encoder) + analytic MFU; writes "
+                        "--profile-out JSON")
+    parser.add_argument("--profile-out", default="train_profile.json",
+                        help="--train-profile artifact path")
     parser.add_argument("--e2e-infer", action="store_true",
                         help="benchmark the shipped two-phase inference path")
     parser.add_argument("--ttfa", action="store_true",
@@ -636,7 +836,9 @@ def main():
 
     honor_env_platform()
 
-    if args.train_step:
+    if args.train_profile:
+        fn, metric, unit = bench_train_profile, "train_step_mfu_pct", "pct_of_v5e_bf16_peak"
+    elif args.train_step:
         fn, metric, unit = bench_train_step, "train_step_throughput", "steps_per_sec"
     elif args.ttfa:
         fn, metric, unit = bench_ttfa, "streaming_ttfa", "ms_first_audio"

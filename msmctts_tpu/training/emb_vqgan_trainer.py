@@ -36,6 +36,7 @@ from msmctts_tpu.training.losses import (
     frame_loss,
     lsgan_d_loss,
     lsgan_g_loss,
+    paired_disc_apply,
     quantizer_loss,
 )
 from msmctts_tpu.training.optim import build_optimizer, optimizer_config_for
@@ -259,8 +260,10 @@ class EmbVQGANTrainer(VQGANTrainer):
 
             def d_loss_fn(pd):
                 pd = cast_floats(pd, self.compute_dtype)
-                fs, _ = self.disc.apply({"params": pd}, jax.lax.stop_gradient(fake))
-                rs, _ = self.disc.apply({"params": pd}, cast_floats(target, self.compute_dtype))
+                fs, _, rs, _ = paired_disc_apply(
+                    self.disc, pd, jax.lax.stop_gradient(fake),
+                    cast_floats(target, self.compute_dtype),
+                )
                 real_l, fake_l = lsgan_d_loss(rs, fs)
                 return real_l + fake_l, (real_l, fake_l)
 
@@ -314,8 +317,10 @@ class EmbVQGANTrainer(VQGANTrainer):
                 g = g - 0.01 * pl  # generator maximizes estimator error
             if gan:
                 pd = cast_floats(new_d_params, self.compute_dtype)
-                fs, ff = self.disc.apply({"params": pd}, dif["fake"])
-                rs, rf = self.disc.apply({"params": pd}, cast_floats(target, self.compute_dtype))
+                fs, ff, _, rf = paired_disc_apply(
+                    self.disc, pd, dif["fake"],
+                    cast_floats(target, self.compute_dtype),
+                )
                 adv = lsgan_g_loss(fs)
                 fm = feature_matching_loss(ff, rf)
                 lam = (

@@ -46,6 +46,7 @@ from msmctts_tpu.training.losses import (
     lsgan_g_loss,
     mel_loss,
     multi_resolution_stft_loss,
+    paired_disc_apply,
     quantizer_loss,
 )
 from msmctts_tpu.training.optim import build_optimizer, optimizer_config_for
@@ -339,10 +340,12 @@ class VQGANTrainer(BaseTrainer):
         target_c = cast_floats(target, self.compute_dtype)
 
         # --- discriminator update on (stop_grad(fake), real) ---
+        # one 2B-batched D call instead of two B calls (paired_disc_apply)
         def d_loss_fn(pd):
             pd = cast_floats(pd, self.compute_dtype)
-            fs, _ = self.disc.apply({"params": pd}, jax.lax.stop_gradient(fake))
-            rs, _ = self.disc.apply({"params": pd}, target_c)
+            fs, _, rs, _ = paired_disc_apply(
+                self.disc, pd, jax.lax.stop_gradient(fake), target_c
+            )
             real_l, fake_l = lsgan_d_loss(rs, fs)
             return real_l + fake_l, (real_l, fake_l)
 
@@ -367,8 +370,7 @@ class VQGANTrainer(BaseTrainer):
             g = g + self.lambda_stft * stft_sum
 
             pd = cast_floats(new_d_params, self.compute_dtype)
-            fs, ff = self.disc.apply({"params": pd}, dif["fake"])
-            rs, rf = self.disc.apply({"params": pd}, target_c)
+            fs, ff, _, rf = paired_disc_apply(self.disc, pd, dif["fake"], target_c)
             adv = lsgan_g_loss(fs)
             fm = feature_matching_loss(ff, rf)
             lam = (
