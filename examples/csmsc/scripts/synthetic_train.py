@@ -51,7 +51,7 @@ STAGE_YAML = {"ae": AE_YAML, "am": AM_YAML, "emb": EMB_YAML, "nasyn": NASYN_YAML
 
 
 def derive_config(stage, corpus, out, steps, ckpt_every, ae_checkpoint,
-                  base_yaml=None):
+                  base_yaml=None, precision=None):
     sys.path.insert(0, REPO)
     from msmctts_tpu.config import load_yaml
 
@@ -138,6 +138,8 @@ def derive_config(stage, corpus, out, steps, ckpt_every, ae_checkpoint,
         cfg["task"]["autoencoder"].pop("_config", None)
         zero_dropouts(cfg["task"]["predictor"])
 
+    if precision:
+        cfg["precision"] = precision
     os.makedirs(out, exist_ok=True)
     path = os.path.join(out, f"{stage}.yaml")
     import yaml
@@ -197,6 +199,10 @@ def main():
     p.add_argument("--log-every", type=int, default=200)
     p.add_argument("--max-restarts", type=int, default=50)
     p.add_argument("--derive-only", action="store_true")
+    p.add_argument("--precision", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="train-step compute precision override (params stay "
+                   "fp32 masters; VQ EMA/losses stay fp32 either way)")
     p.add_argument("--yaml", default=None,
                    help="base config override for the stage (e.g. "
                    "msmc_vq_gan_istft.yaml for the iSTFT-head AE recipe)")
@@ -206,7 +212,7 @@ def main():
         p.error(f"--stage {args.stage} requires --ae-checkpoint")
     yaml_path = derive_config(args.stage, args.corpus, args.out, args.steps,
                               args.ckpt_every, args.ae_checkpoint,
-                              base_yaml=args.yaml)
+                              base_yaml=args.yaml, precision=args.precision)
     print(f"[supervisor] derived {yaml_path}", flush=True)
     if args.derive_only:
         return 0
