@@ -415,14 +415,16 @@ def bench_train_step(args):
 
     # CSMSC envelope: batch 16 (msmc_vq_gan.yaml:99-108), ~4.8 s utterances
     B, T = args.batch, args.frames
+    n_mels = int(config.task.autoencoder.get("in_dim", 80))
+    hop = trainer.frameshift
     rng = np.random.default_rng(0)
 
     def make_batch():
         return {
-            "mel": rng.normal(size=(B, T, 80)).astype(np.float32),
+            "mel": rng.normal(size=(B, T, n_mels)).astype(np.float32),
             "mel_length": np.full((B,), T, np.int32),
-            "wav": (rng.normal(size=(B, T * FRAMESHIFT)) * 0.1).astype(np.float32),
-            "wav_length": np.full((B,), T * FRAMESHIFT, np.int32),
+            "wav": (rng.normal(size=(B, T * hop)) * 0.1).astype(np.float32),
+            "wav_length": np.full((B,), T * hop, np.int32),
         }
 
     state = trainer.init_state(jax.random.PRNGKey(0), make_batch())
@@ -569,13 +571,15 @@ def bench_train_profile(args):
     )
 
     B, T = args.batch, args.frames
+    n_mels = int(config.task.autoencoder.get("in_dim", 80))
+    hop = tr.frameshift
     rng = np.random.default_rng(0)
 
     def make_batch():
         return {
-            "mel": rng.normal(size=(B, T, 80)).astype(np.float32),
+            "mel": rng.normal(size=(B, T, n_mels)).astype(np.float32),
             "mel_length": np.full((B,), T, np.int32),
-            "wav": (rng.normal(size=(B, T * FRAMESHIFT)) * 0.1).astype(np.float32),
+            "wav": (rng.normal(size=(B, T * hop)) * 0.1).astype(np.float32),
         }
 
     state = tr.init_state(jax.random.PRNGKey(0), make_batch())

@@ -149,7 +149,46 @@ def derive_config(stage, corpus, out, steps, ckpt_every, ae_checkpoint,
     return path
 
 
-def supervise(yaml_path, log_every, max_restarts):
+def _latest_mtime(root):
+    """Newest mtime under root (logs, events, snapshots) — the liveness
+    signal a training feed emits every log_every steps."""
+    latest = 0.0
+    for dirpath, _, names in os.walk(root):
+        for n in names:
+            try:
+                latest = max(latest, os.path.getmtime(os.path.join(dirpath, n)))
+            except OSError:
+                pass
+    return latest
+
+
+def _run_with_watchdog(cmd, ckpt_dir, hang_timeout):
+    """subprocess.call, plus a hang watchdog: the axon tunnel occasionally
+    wedges a device call forever (r5 observed: 45+ min silent at full RSS,
+    SIGTERM undeliverable because the handler can't preempt the native
+    call). Crash-restarts are already lossless, so convert a hang into a
+    crash: if nothing under ckpt_dir has been touched for hang_timeout
+    seconds, SIGKILL the child. Compiles through the tunnel take minutes;
+    the default timeout must stay well above the longest (GAN-phase)
+    compile."""
+    proc = subprocess.Popen(cmd)
+    start = time.time()
+    while True:
+        try:
+            return proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            pass
+        progressed = max(_latest_mtime(ckpt_dir), start)
+        if time.time() - progressed > hang_timeout:
+            print(f"[supervisor] no progress under {ckpt_dir} for "
+                  f"{hang_timeout:.0f}s — killing hung child pid {proc.pid}",
+                  flush=True)
+            proc.kill()
+            proc.wait()
+            return -9
+
+
+def supervise(yaml_path, log_every, max_restarts, hang_timeout=900):
     """Restart-on-crash loop. rc 0 alone is NOT completion: a graceful
     preemption snapshot (SIGTERM mid-run) also exits 0 by design
     (tests/test_preemption.py), so completion is judged by the latest
@@ -170,7 +209,7 @@ def supervise(yaml_path, log_every, max_restarts):
         cmd = [sys.executable, os.path.join(REPO, "train.py"), "-c", yaml_path,
                "--log-every", str(log_every)]
         print(f"[supervisor] attempt {attempt}: {' '.join(cmd)}", flush=True)
-        rc = subprocess.call(cmd)
+        rc = _run_with_watchdog(cmd, ckpt_dir, hang_timeout)
         latest = find_latest_checkpoint(ckpt_dir)
         reached = checkpoint_step(latest) if latest else 0
         if rc == 0 and reached >= target:
@@ -198,6 +237,10 @@ def main():
                    help="frozen AE checkpoint path (required for --stage am)")
     p.add_argument("--log-every", type=int, default=200)
     p.add_argument("--max-restarts", type=int, default=50)
+    p.add_argument("--hang-timeout", type=float, default=900,
+                   help="SIGKILL the child if nothing under the checkpoint "
+                   "dir changes for this many seconds (tunnel-hang watchdog; "
+                   "must exceed the longest GAN-phase compile)")
     p.add_argument("--derive-only", action="store_true")
     p.add_argument("--precision", default=None,
                    choices=["float32", "bfloat16"],
@@ -216,7 +259,8 @@ def main():
     print(f"[supervisor] derived {yaml_path}", flush=True)
     if args.derive_only:
         return 0
-    return supervise(yaml_path, args.log_every, args.max_restarts)
+    return supervise(yaml_path, args.log_every, args.max_restarts,
+                     hang_timeout=args.hang_timeout)
 
 
 if __name__ == "__main__":
