@@ -123,26 +123,24 @@ def multi_resolution_stft_loss(
 
 
 def paired_disc_apply(disc, params, fake, real):
-    """Run a discriminator ONCE on ``concat([fake, real])`` and split.
+    """Apply a discriminator to the (fake, real) pair.
 
     The reference evaluates D separately on fake and real, twice per step
     (D update, then the generator pass against the updated D —
-    /root/reference/msmctts/trainers/msmctts_trainer.py:162-183): 4 D
-    invocations per step. Every sub-discriminator here (MRD spectrogram
-    stacks, MPD period reshapes) is strictly per-sample, so batching the
-    two operands into one 2B call is numerically the same per-sample
-    computation while halving the number of conv dispatches and doubling
-    their batch — measurably better MXU utilization on the many narrow
-    D convs (profiled r5; PARITY.md train-step budget).
+    /root/reference/msmctts/trainers/msmctts_trainer.py:162-183). A
+    batched variant — ONE call on ``concat([fake, real])``, numerically
+    identical since every sub-discriminator is per-sample — was tried and
+    MEASURED SLOWER on the v5e: 3.26 vs 4.10 steps/s for the full GAN
+    step (chained in-graph timing, batch 16, T=384; PARITY.md train-step
+    budget). The narrow D convs are bandwidth-bound, so doubling their
+    batch moves the same bytes while the 2B concat/split and worse
+    tilings add cost. Two separate applies is the faster formulation and
+    is what this runs.
 
     Returns ``(fake_scores, fake_fmaps, real_scores, real_fmaps)``.
     """
-    B = fake.shape[0]
-    scores, fmaps = disc.apply({"params": params}, jnp.concatenate([fake, real], axis=0))
-    fs = [s[:B] for s in scores]
-    rs = [s[B:] for s in scores]
-    ff = [[f[:B] for f in fm] for fm in fmaps]
-    rf = [[f[B:] for f in fm] for fm in fmaps]
+    fs, ff = disc.apply({"params": params}, fake)
+    rs, rf = disc.apply({"params": params}, real)
     return fs, ff, rs, rf
 
 

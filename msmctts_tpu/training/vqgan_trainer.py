@@ -340,7 +340,6 @@ class VQGANTrainer(BaseTrainer):
         target_c = cast_floats(target, self.compute_dtype)
 
         # --- discriminator update on (stop_grad(fake), real) ---
-        # one 2B-batched D call instead of two B calls (paired_disc_apply)
         def d_loss_fn(pd):
             pd = cast_floats(pd, self.compute_dtype)
             fs, _, rs, _ = paired_disc_apply(
