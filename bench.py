@@ -834,7 +834,16 @@ def main():
     parser.add_argument("--runs", type=int, default=8)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--frames", type=int, default=384,
-                        help="mel frames per utterance (--train-step)")
+                        help="mel frames per utterance (--train-step/"
+                        "--train-profile). NOTE: the production feed "
+                        "buckets full utterances up to FRAME_BUCKETS' "
+                        "2432 (datasets.py); the default 384 approximates "
+                        "the synthetic-corpus mix, and the GAN step's "
+                        "window crop makes D+decoder cost bucket-"
+                        "independent, so only the encoder/VQ share "
+                        "(~5% of the step) scales with this choice. The "
+                        "observed production GAN rate (~4.5 steps/s) "
+                        "corroborates the T=384 chained number (4.10)")
     args = parser.parse_args()
     from msmctts_tpu.utils.platform import honor_env_platform
 
